@@ -1,0 +1,184 @@
+"""Typed parameter containers.
+
+TPU-native rebuild of the reference's parameter system:
+- ``PhysicalParameters``  (Sleipnir; observed fields at
+  /root/reference/test/params_construction.jl:24-34)
+- ``SimulationParameters`` (Sleipnir; fields at
+  /root/reference/test/test_grad_loss.jl:109-121)
+- ``SolverParameters``     (Huginn; /root/reference/test/params_construction.jl:5-13)
+- ``Hyperparameters``      (/root/reference/src/parameters/Hyperparameters.jl:18-81)
+- ``UDEParameters``        (/root/reference/src/parameters/UDEparameters.jl:14-80)
+- ``InversionParameters``  (/root/reference/src/parameters/InversionParameters.jl:18-70)
+- composite ``Parameters`` (/root/reference/src/parameters/UDEparameters.jl:109-128)
+
+Design: plain frozen dataclasses. They are *static* configuration — hashable, used
+as closure constants for jit-compiled functions, never traced. All array-valued
+state lives in pytrees (see :mod:`odinn_tpu.core.glacier`). This replaces the
+reference's mutable structs without any of their in-place semantics, which do not
+map onto XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple, Union
+
+__all__ = [
+    "PhysicalParameters",
+    "SimulationParameters",
+    "SolverParameters",
+    "Hyperparameters",
+    "UDEParameters",
+    "InversionParameters",
+    "Parameters",
+]
+
+
+@dataclass(frozen=True)
+class PhysicalParameters:
+    """Physical constants of the ice-flow problem.
+
+    Mirrors Sleipnir.PhysicalParameters (observed at
+    /root/reference/test/params_construction.jl:24-34). Units follow the
+    reference: ρ [kg m⁻³], g [m s⁻²], lengths in m, time in years.
+    """
+
+    rho: float = 900.0          # ice density
+    g: float = 9.81             # gravitational acceleration
+    epsilon: float = 1e-3       # numerical regularization ϵ
+    eta0: float = 1.0           # η₀ upstream-thickness flux-clamp factor
+    min_A: float = 8.5e-20      # Glen creep coefficient bounds [Pa⁻ⁿ yr⁻¹]
+    max_A: float = 8e-17
+    min_C: float = 0.0          # sliding coefficient bounds
+    max_C: float = 1.0
+    min_T_law: float = -25.0    # temperature range seen by T→A laws
+    max_T_law: float = 1.0
+    noise_A_magnitude: float = 5e-18
+
+
+@dataclass(frozen=True)
+class SimulationParameters:
+    """Global simulation switches.
+
+    Mirrors Sleipnir.SimulationParameters (fields observed at
+    /root/reference/test/test_grad_loss.jl:109-121).
+    """
+
+    tspan: Tuple[float, float] = (2010.0, 2015.0)
+    use_MB: bool = True
+    use_iceflow: bool = True
+    use_velocities: bool = True
+    plots: bool = False
+    overwrite_climate: bool = False
+    step_MB: float = 1.0 / 12.0      # mass-balance callback period [yr]
+    multiprocessing: bool = False    # kept for API parity; superseded by mesh sharding
+    workers: int = 1
+    test_mode: bool = False
+    working_dir: str = ""
+    rgi_paths: Any = None
+    grid_scaling_factor: int = 1
+    f_surface_velocity_factor: float = 1.0
+    mapping: Any = None
+    climate_data_source: str = "dummy"
+    # TPU-native extras
+    float_dtype: str = "float64"     # "float32" on TPU benches, "float64" for parity tests
+
+
+@dataclass(frozen=True)
+class SolverParameters:
+    """Time-integration configuration.
+
+    Mirrors Huginn.SolverParameters (/root/reference/test/params_construction.jl:5-13).
+    The reference defaults to the adaptive RDPK3Sp35 solver; the TPU-native default
+    is a fixed-shape embedded RK pair driven by `lax.scan`/`lax.while_loop`
+    (see odinn_tpu.simulation.solver).
+    """
+
+    solver: str = "RK4"             # "RK4" | "Euler" | "BS32" (adaptive Bogacki-Shampine)
+    reltol: float = 1e-8
+    step: float = 1.0 / 12.0        # save/callback step (tstop spacing) [yr]
+    substeps: int = 20              # fixed substeps per tstop interval (scan path)
+    save_everystep: bool = False
+    tstops: Optional[Tuple[float, ...]] = None
+    progress: bool = False
+    progress_steps: int = 10
+    maxiters: int = 50_000
+    adaptive: bool = False          # adaptive while_loop path (forward-only)
+
+
+@dataclass(frozen=True)
+class Hyperparameters:
+    """Training hyperparameters.
+
+    Mirrors /root/reference/src/parameters/Hyperparameters.jl:18-81. ``optimizer``
+    and ``epochs`` may be sequences for staged training (e.g. ADAM→LBFGS with
+    warm-started θ, /root/reference/src/simulations/inversions/inversion_utils.jl:37-59).
+    """
+
+    current_epoch: int = 1
+    current_minibatch: int = 1
+    optimizer: Union[str, Tuple[str, ...]] = "lbfgs"
+    learning_rate: Union[float, Tuple[float, ...]] = 1e-3
+    epochs: Union[int, Tuple[int, ...]] = 50
+    batch_size: int = 15
+
+
+@dataclass(frozen=True)
+class UDEParameters:
+    """UDE/inversion configuration.
+
+    Mirrors /root/reference/src/parameters/UDEparameters.jl:14-80.
+
+    ``grad`` names the adjoint method (see odinn_tpu.inverse.adjoint_types):
+      - "jax"        — reverse-mode AD through the checkpointed solve
+                       (TPU-native equivalent of SciMLSensitivityAdjoint)
+      - "discrete"   — hand-written discrete adjoint (reverse Euler over tstops)
+      - "continuous" — continuous adjoint with Gauss-quadrature θ contraction
+      - "dummy"      — DummyAdjoint for pipeline testing
+    """
+
+    sensealg: str = "interpolating"           # kept for parity; unused by "jax" path
+    optim_autoAD: str = "jax"
+    grad: Any = "continuous"                  # str name or AbstractAdjointMethod instance
+    optimization_method: str = "AD+AD"
+    empirical_loss_function: Any = None       # AbstractLoss; default MultiLoss((LossH(),),(1.0,))
+    target: str = "A"                         # "A" | "D_hybrid" | "D"
+    initial_condition_filter: str = "identity"  # "identity" | "softplus" | "Zang1980"
+
+
+@dataclass(frozen=True)
+class InversionParameters:
+    """Legacy region-split inversion configuration.
+
+    Mirrors /root/reference/src/parameters/InversionParameters.jl:18-70.
+    """
+
+    initial_conditions: Tuple[float, ...] = (1.0,)
+    lower_bound: Tuple[float, ...] = (0.0,)
+    upper_bound: Tuple[float, ...] = (1.0,)
+    regions_split: Tuple[int, int] = (1, 1)
+    x_tol: float = 1e-3
+    f_tol: float = 1e-3
+    solver: str = "lbfgs"
+
+
+@dataclass(frozen=True)
+class Parameters:
+    """Composite parameter object.
+
+    Mirrors the ``Parameters(...)`` constructor at
+    /root/reference/src/parameters/UDEparameters.jl:109-128 (without
+    `enable_multiprocessing`: scale-out is mesh sharding, configured in
+    odinn_tpu.parallel).
+    """
+
+    physical: PhysicalParameters = field(default_factory=PhysicalParameters)
+    simulation: SimulationParameters = field(default_factory=SimulationParameters)
+    solver: SolverParameters = field(default_factory=SolverParameters)
+    hyper: Hyperparameters = field(default_factory=Hyperparameters)
+    UDE: UDEParameters = field(default_factory=UDEParameters)
+    inversion: InversionParameters = field(default_factory=InversionParameters)
+
+    def replace(self, **kwargs) -> "Parameters":
+        return dataclasses.replace(self, **kwargs)
