@@ -73,6 +73,19 @@ def inn1(a):
     return a[..., :-1, :-1]
 
 
+def safe_norm(x, y):
+    """√(x²+y²) with a zero (not NaN) gradient at the origin.
+
+    The raw sqrt has an infinite derivative at 0, which poisons reverse-mode
+    AD over flat/ice-free cells with NaNs. The correct subgradient for the SIA
+    diffusivity (D ∝ |∇S|^{n−1}, n ≥ 1) is 0 there; this matches the
+    reference's nonsmoothness choices (SURVEY §7 hard parts).
+    """
+    sq = x * x + y * y
+    pos = sq > 0.0
+    return jnp.sqrt(jnp.where(pos, sq, 1.0)) * pos
+
+
 def grad_slope(s, dx, dy):
     """Staggered surface-slope magnitude and components.
 

@@ -1,0 +1,198 @@
+"""Fixed-shape time integrators for the SIA2D solve.
+
+TPU-native replacement for the reference's OrdinaryDiffEq solve
+(``RDPK3Sp35()`` + tstops + callbacks,
+/root/reference/src/simulations/inversions/inversion_utils.jl:551-572):
+
+- :func:`integrate_scan` — fixed substeps per save interval driven by
+  ``lax.scan`` with per-interval ``jax.checkpoint`` rematerialisation. This is
+  the *differentiable* path: reverse-mode AD through it replaces the
+  reference's SciMLSensitivity adjoint, and MB/law callbacks folded into the
+  scan are differentiated for free (the reference could not differentiate its
+  callbacks, inversion_utils.jl:321-323).
+- :func:`integrate_adaptive` — embedded Bogacki–Shampine 3(2) pair with a PI
+  step controller inside ``lax.while_loop``, hitting every tstop exactly.
+  Forward-only (while_loop has no reverse rule); used for ``Prediction`` runs
+  and ground-truth generation where the reference uses adaptive RK.
+
+Both return the trajectory saved at the tstops — the dense saving the
+reference's discrete adjoint consumes (gradient.jl:71-75).
+
+Methods: classic RK4, SSPRK3 (Shu–Osher; a stability-optimized explicit
+scheme in the same spirit as the reference's default RDPK3Sp35), and Euler.
+Callbacks run at interval ends, matching PeriodicCallback apply-at-window-end
+semantics (inversion_utils.jl:514).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "build_tstops",
+    "integrate_scan",
+    "integrate_adaptive",
+    "rk4_step",
+    "ssprk3_step",
+    "euler_step",
+]
+
+
+def build_tstops(tspan, step, extra=None):
+    """Uniform tstops over tspan at ``step``, unioned with ``extra`` times
+    (Huginn.define_callback_steps equivalent; tstop assembly semantics from
+    inversion_utils.jl:487-495). Returns a sorted numpy-backed jnp array."""
+    import numpy as np
+
+    t0, t1 = float(tspan[0]), float(tspan[1])
+    n = int(round((t1 - t0) / step))
+    ts = np.linspace(t0, t1, n + 1)
+    if extra is not None:
+        ts = np.union1d(np.round(ts, 10), np.round(np.asarray(extra, float), 10))
+        ts = ts[(ts >= t0 - 1e-9) & (ts <= t1 + 1e-9)]
+    return jnp.asarray(ts)
+
+
+# ---------------------------------------------------------------------------
+# Explicit steppers
+# ---------------------------------------------------------------------------
+
+def euler_step(f, y, t, dt):
+    return y + dt * f(y, t)
+
+
+def rk4_step(f, y, t, dt):
+    k1 = f(y, t)
+    k2 = f(y + 0.5 * dt * k1, t + 0.5 * dt)
+    k3 = f(y + 0.5 * dt * k2, t + 0.5 * dt)
+    k4 = f(y + dt * k3, t + dt)
+    return y + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+def ssprk3_step(f, y, t, dt):
+    """3-stage 3rd-order strong-stability-preserving RK (Shu–Osher)."""
+    y1 = y + dt * f(y, t)
+    y2 = 0.75 * y + 0.25 * (y1 + dt * f(y1, t + dt))
+    return y / 3.0 + (2.0 / 3.0) * (y2 + dt * f(y2, t + 0.5 * dt))
+
+
+_STEPPERS = {"RK4": rk4_step, "SSPRK3": ssprk3_step, "Euler": euler_step}
+
+
+# ---------------------------------------------------------------------------
+# Fixed-substep scan integrator (differentiable)
+# ---------------------------------------------------------------------------
+
+def integrate_scan(
+    rhs: Callable,
+    y0,
+    tstops,
+    substeps: int,
+    method: str = "RK4",
+    callback: Optional[Callable] = None,
+    checkpoint: bool = True,
+):
+    """Integrate ``dy/dt = rhs(y, t)`` saving at every tstop.
+
+    ``callback(y, t0, t1, interval_idx) -> y`` runs at the end of each save
+    interval (MB application, periodic law refresh). With ``checkpoint=True``
+    each interval is rematerialized in the backward pass, so reverse-mode
+    memory is O(n_tstops) states instead of O(n_tstops·substeps) — the
+    TPU-native analogue of checkpointed adjoints (SURVEY §5 long-context note).
+
+    Returns the trajectory, shape ``(len(tstops), *y0.shape)`` with
+    ``traj[0] = y0``.
+    """
+    step_fn = _STEPPERS[method]
+    tstops = jnp.asarray(tstops)
+    t0s, t1s = tstops[:-1], tstops[1:]
+    idxs = jnp.arange(t0s.shape[0])
+
+    def interval(y, xs):
+        t0, t1, i = xs
+        dt = (t1 - t0) / substeps
+
+        def sub(yc, k):
+            return step_fn(rhs, yc, t0 + k * dt, dt), None
+
+        y, _ = lax.scan(sub, y, jnp.arange(substeps))
+        if callback is not None:
+            y = callback(y, t0, t1, i)
+        return y, y
+
+    body = jax.checkpoint(interval) if checkpoint else interval
+    _, traj = lax.scan(body, y0, (t0s, t1s, idxs))
+    return jnp.concatenate([y0[None], traj], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive Bogacki–Shampine 3(2) integrator (forward-only)
+# ---------------------------------------------------------------------------
+
+def _bs32_step(f, y, t, dt, k1):
+    """One embedded BS3(2) step with FSAL. Returns (y3, err, k4)."""
+    k2 = f(y + 0.5 * dt * k1, t + 0.5 * dt)
+    k3 = f(y + 0.75 * dt * k2, t + 0.75 * dt)
+    y3 = y + dt * (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
+    k4 = f(y3, t + dt)
+    err = dt * (-5.0 * k1 / 72.0 + k2 / 12.0 + k3 / 9.0 - k4 / 8.0)
+    return y3, err, k4
+
+
+def integrate_adaptive(
+    rhs: Callable,
+    y0,
+    tstops,
+    rtol: float = 1e-8,
+    atol: float = 1e-8,
+    dt0: Optional[float] = None,
+    max_steps_per_interval: int = 100_000,
+):
+    """Adaptive BS3(2) integration hitting every tstop exactly.
+
+    The error controller follows the standard PI form with safety 0.9 and
+    growth clamp [0.2, 5]; dt is truncated to land on the interval end. The
+    outer save loop is a scan; the inner accept/reject loop a while_loop —
+    forward-only, mirroring the reference's adaptive forward solves
+    (SolverParameters.reltol, /root/reference/test/params_construction.jl:5-13).
+    """
+    tstops = jnp.asarray(tstops)
+    dt_init = jnp.asarray(dt0 if dt0 is not None else (tstops[1] - tstops[0]) / 100.0, y0.dtype)
+
+    def err_norm(err, y_a, y_b):
+        scale = atol + rtol * jnp.maximum(jnp.abs(y_a), jnp.abs(y_b))
+        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+    def interval(carry, t1):
+        y, t, dt, k1, nfe = carry
+
+        def cond(state):
+            y, t, dt, k1, it, nfe = state
+            return (t < t1 - 1e-12) & (it < max_steps_per_interval)
+
+        def body(state):
+            y, t, dt, k1, it, nfe = state
+            dt_eff = jnp.minimum(dt, t1 - t)
+            y3, err, k4 = _bs32_step(rhs, y, t, dt_eff, k1)
+            en = err_norm(err, y, y3)
+            accept = en <= 1.0
+            fac = jnp.clip(0.9 * (en + 1e-16) ** (-1.0 / 3.0), 0.2, 5.0)
+            dt_new = dt_eff * fac
+            y = jnp.where(accept, y3, y)
+            t = jnp.where(accept, t + dt_eff, t)
+            k1 = jax.tree.map(lambda new, old: jnp.where(accept, new, old), k4, k1)
+            # on reject, k1 at (y, t) is unchanged (FSAL only advances on accept)
+            return (y, t, dt_new, k1, it + 1, nfe + 3)
+
+        y, t, dt, k1, _, nfe = lax.while_loop(cond, body, (y, t, dt, k1, 0, nfe))
+        return (y, t, dt, k1, nfe), y
+
+    k1_0 = rhs(y0, tstops[0])
+    carry0 = (y0, tstops[0], dt_init, k1_0, jnp.asarray(1))
+    (yf, tf, dtf, k1f, nfe), traj = lax.scan(interval, carry0, tstops[1:])
+    return jnp.concatenate([y0[None], traj], axis=0)
