@@ -1,0 +1,408 @@
+"""Adjoint gradient drivers: discrete and continuous manual adjoints.
+
+TPU-native rebuild of ``SIA2D_grad!`` / ``SIA2D_grad_batch!``
+(/root/reference/src/inverse/SIA2D/gradient.jl:6-566).
+
+**DiscreteAdjoint** — the exact transpose of the forward integrator.
+The reference reverse-integrates the adjoint ODE with one explicit Euler step
+per saved interval (gradient.jl:191-253); but the adjoint equation is as stiff
+as the forward diffusion, so any explicit reverse integration amplifies
+high-frequency cotangent modes beyond its stability limit. Instead we
+transpose the *actual* discrete forward map: each RK substep H_{k+1} = ψ(H_k)
+is pulled back stage by stage (λ_k = (∂ψ/∂H)ᵀλ_{k+1}), with stage states
+rematerialized by re-running the forward inside each save interval. The
+transpose inherits the forward scheme's stability on the trajectory and is
+*exact* — it reproduces reverse-mode AD to roundoff while running entirely on
+the hand-written VJP kernels (odinn_tpu.inverse.vjps), which is the point of
+the manual path: O(save-interval) memory instead of storing all RK internals.
+
+**ContinuousAdjoint** (gradient.jl:350-501) — differentiate-then-discretize:
+the reverse adjoint ODE dλ/dτ = (∂f/∂H)ᵀλ is integrated with the *adaptive*
+embedded solver (matching the reference's RDPK3Sp35 reverse solve; adaptivity
+handles the stiffness), with per-tstop loss cotangents injected at interval
+boundaries and H(t) linearly interpolated between saved states
+(gradient.jl:285-301). dL/dθ is contracted by Gauss–Legendre quadrature over
+the span (``n_quadrature``; gradient.jl:449-501).
+
+Both drivers vmap over the glacier batch; θ-gradients are tree-summed across
+glaciers (``aggregate∇θ``, Model.jl:208-224) — a psum over ICI under mesh
+sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odinn_tpu.inverse.adjoint_types import (
+    AutoVJP,
+    ContinuousAdjoint,
+    ContinuousVJP,
+    DiscreteAdjoint,
+    DiscreteVJP,
+    NoVJP,
+)
+from odinn_tpu.inverse import vjps
+from odinn_tpu.losses.losses import LossContext, MultiLoss, term_kind
+from odinn_tpu.models.model import make_values_fn, resolve_outer_values
+from odinn_tpu.physics.sia2d import v_from_h
+from odinn_tpu.simulation.prediction import _mb_every, forward_glacier
+from odinn_tpu.simulation.solver import build_tstops
+
+__all__ = ["glacier_adjoint_value_and_grad", "make_adjoint_value_and_grad", "gauss_legendre_nodes"]
+
+
+def gauss_legendre_nodes(t0, t1, n):
+    """Gauss–Legendre nodes/weights on [t0, t1] (GaussQuadrature equivalent,
+    gradient.jl:520-566). Static numpy — computed at trace time."""
+    x, w = np.polynomial.legendre.leggauss(n)
+    x = 0.5 * (x + 1.0) * (t1 - t0) + t0
+    w = 0.5 * (t1 - t0) * w
+    return jnp.asarray(x), jnp.asarray(w)
+
+
+def _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
+    """Build ℓ(H, θ, τ): the transient empirical loss at saved index τ
+    (Δt-weighted as in the total loss). Returns a pure function for jax.vjp."""
+    from odinn_tpu.simulation.inversion import _default_loss
+
+    loss_cfg = params.UDE.empirical_loss_function or _default_loss()
+    if not isinstance(loss_cfg, MultiLoss):
+        loss_cfg = MultiLoss(terms=(loss_cfg,), weights=(1.0,))
+    transient = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms) if term_kind(t_) == "transient"]
+    td = glacier.thickness_data
+    vd = glacier.velocity_data
+    npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
+    dts = jnp.diff(tstops)
+
+    def loss_at(H, th, tau):
+        outer = resolve_outer_values(model, th, glacier, glacier_idx, tstops[0])
+        vfn = make_values_fn(model, th, glacier, glacier_idx, tstops[0], outer)
+
+        def velocity_fn(h, t):
+            return v_from_h(h, glacier.B, glacier.dx, glacier.dy, vfn, model.target, params.physical)
+
+        ctx = LossContext(
+            H_ref=None if td is None else td.H[tau],
+            V_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vabs[tau],
+            Vx_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vx[tau],
+            Vy_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vy[tau],
+            velocity_fn=velocity_fn,
+            normalization=jnp.asarray(float(npix)),
+            theta=th,
+            glacier_idx=glacier_idx,
+            glacier=glacier,
+            dx=glacier.dx,
+            dy=glacier.dy,
+        )
+        acc = jnp.asarray(0.0, H.dtype)
+        for w, term in transient:
+            acc = acc + w * term(ctx, H, tstops[tau])
+        return acc * dts[tau - 1]
+
+    return loss_at
+
+
+# ---------------------------------------------------------------------------
+# Stage-level transposes of the explicit steppers
+# ---------------------------------------------------------------------------
+
+def _euler_transpose(lam, H0, dt, t, vjp_H, vjp_theta, dtheta):
+    """Transpose of H1 = H0 + dt f(H0)."""
+    lam0 = lam + dt * vjp_H(lam, H0, t)
+    dtheta = jax.tree.map(jnp.add, dtheta, jax.tree.map(lambda g: dt * g, vjp_theta(lam, H0, t)))
+    return lam0, dtheta
+
+
+def _rk4_transpose(lam, H0, dt, t, rhs, vjp_H, vjp_theta, dtheta):
+    """Exact transpose of the classic RK4 step (stages rematerialized)."""
+    half = 0.5 * dt
+    k1 = rhs(H0, t)
+    u2 = H0 + half * k1
+    k2 = rhs(u2, t + half)
+    u3 = H0 + half * k2
+    k3 = rhs(u3, t + half)
+    u4 = H0 + dt * k3
+    # stage cotangents, reverse order
+    w = dt / 6.0
+    xi4 = w * lam
+    g4 = vjp_H(xi4, u4, t + dt)
+    xi3 = 2.0 * w * lam + dt * g4
+    g3 = vjp_H(xi3, u3, t + half)
+    xi2 = 2.0 * w * lam + half * g3
+    g2 = vjp_H(xi2, u2, t + half)
+    xi1 = w * lam + half * g2
+    g1 = vjp_H(xi1, H0, t)
+    lam0 = lam + g1 + g2 + g3 + g4
+
+    def add_stage(acc, xi, u, tt):
+        return jax.tree.map(jnp.add, acc, vjp_theta(xi, u, tt))
+
+    dtheta = add_stage(dtheta, xi1, H0, t)
+    dtheta = add_stage(dtheta, xi2, u2, t + half)
+    dtheta = add_stage(dtheta, xi3, u3, t + half)
+    dtheta = add_stage(dtheta, xi4, u4, t + dt)
+    return lam0, dtheta
+
+
+def _ssprk3_transpose(lam, H0, dt, t, rhs, vjp_H, vjp_theta, dtheta):
+    """Exact transpose of the Shu–Osher SSPRK3 step.
+
+    Forward: y1 = y + dt f(y);  y2 = ¾y + ¼(y1 + dt f(y1));
+             y' = ⅓y + ⅔(y2 + dt f(y2)).
+    """
+    y1 = H0 + dt * rhs(H0, t)
+    y2 = 0.75 * H0 + 0.25 * (y1 + dt * rhs(y1, t + dt))
+    # cotangents
+    c_y2 = (2.0 / 3.0) * lam
+    xi3 = (2.0 / 3.0) * dt * lam                  # cot on f(y2)
+    g3 = vjp_H(xi3, y2, t + 0.5 * dt)
+    c_y2 = c_y2 + g3
+    c_y1 = 0.25 * c_y2
+    xi2 = 0.25 * dt * c_y2                        # cot on f(y1)
+    g2 = vjp_H(xi2, y1, t + dt)
+    c_y1 = c_y1 + g2
+    xi1 = dt * c_y1                                # cot on f(y)
+    g1 = vjp_H(xi1, H0, t)
+    lam0 = lam / 3.0 + 0.75 * c_y2 + c_y1 + g1
+
+    dtheta = jax.tree.map(jnp.add, dtheta, vjp_theta(xi1, H0, t))
+    dtheta = jax.tree.map(jnp.add, dtheta, vjp_theta(xi2, y1, t + dt))
+    dtheta = jax.tree.map(jnp.add, dtheta, vjp_theta(xi3, y2, t + 0.5 * dt))
+    return lam0, dtheta
+
+
+def glacier_adjoint_value_and_grad(
+    theta, glacier, glacier_idx, model, params, tstops, adjoint, quad_nodes=None
+):
+    """(loss, dθ) for one glacier via the manual adjoint ``adjoint``."""
+    flavor = adjoint.VJP_method
+    mb_flavor = adjoint.MB_VJP
+    use_mb = params.simulation.use_MB and model.mass_balance is not None
+    k_mb = _mb_every(params) if use_mb else 0
+
+    # ------- forward solve + loss (re-run, as gradient.jl:48-57 does) -------
+    traj = forward_glacier(theta, glacier, glacier_idx, model, params, tstops)
+    loss_at = _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops)
+
+    n_save = tstops.shape[0]
+    taus = jnp.arange(1, n_save)
+    per_t = jax.vmap(lambda tau: loss_at(traj[tau], theta, tau))(taus)
+    loss_val = jnp.sum(per_t)
+
+    zero_theta = jax.tree.map(jnp.zeros_like, theta)
+
+    def loss_cotangents(tau):
+        """(∂ℓ_τ/∂H, ∂ℓ_τ/∂θ) — backward_loss equivalents by exact vjp."""
+        _, pb = jax.vjp(lambda H, th: loss_at(H, th, tau), traj[tau], theta)
+        return pb(jnp.asarray(1.0, traj.dtype))
+
+    def vjp_H(lam, H, t):
+        return vjps.vjp_sia_dH(flavor, lam, H, theta, glacier, glacier_idx, model, params, t)
+
+    def vjp_theta(lam, H, t):
+        return vjps.vjp_sia_dtheta(flavor, lam, H, theta, glacier, glacier_idx, model, params, t)
+
+    def rhs(H, t):
+        return vjps.rhs_with_theta(H, theta, glacier, glacier_idx, model, params, t)
+
+    def pull_mb(lam, j):
+        """Pull λ back through the MB application at save boundary j."""
+        def apply(lam):
+            return lam + vjps.vjp_mb_dH(
+                mb_flavor, lam, traj[j], glacier, model.mass_balance, tstops[j],
+                params.simulation.step_MB,
+            )
+
+        return jax.lax.cond(j % k_mb == 0, apply, lambda l: l, lam)
+
+    if isinstance(adjoint, DiscreteAdjoint):
+        substeps = adjoint.substeps or params.solver.substeps
+        method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler") else "RK4"
+
+        def interval_reverse(carry, j):
+            lam, dtheta = carry
+            dlH, dlth = loss_cotangents(j)
+            lam = lam + dlH
+            dtheta = jax.tree.map(jnp.add, dtheta, dlth)
+            if use_mb:
+                lam = pull_mb(lam, j)
+
+            t0j, t1j = tstops[j - 1], tstops[j]
+            dt = (t1j - t0j) / substeps
+
+            # rematerialize the forward substep states inside this interval
+            def fwd_sub(H, s):
+                t = t0j + s * dt
+                if method == "RK4":
+                    from odinn_tpu.simulation.solver import rk4_step
+
+                    Hn = rk4_step(rhs, H, t, dt)
+                elif method == "SSPRK3":
+                    from odinn_tpu.simulation.solver import ssprk3_step
+
+                    Hn = ssprk3_step(rhs, H, t, dt)
+                else:
+                    Hn = H + dt * rhs(H, t)
+                return Hn, H
+
+            _, H_sub = jax.lax.scan(fwd_sub, traj[j - 1], jnp.arange(substeps))
+            # H_sub[s] is the state at the START of substep s
+
+            def rev_sub(carry, s):
+                lam, dtheta = carry
+                H0 = H_sub[substeps - 1 - s]
+                t = t0j + (substeps - 1 - s) * dt
+                if method == "RK4":
+                    lam, dtheta = _rk4_transpose(lam, H0, dt, t, rhs, vjp_H, vjp_theta, dtheta)
+                elif method == "SSPRK3":
+                    lam, dtheta = _ssprk3_transpose(lam, H0, dt, t, rhs, vjp_H, vjp_theta, dtheta)
+                else:
+                    lam, dtheta = _euler_transpose(lam, H0, dt, t, vjp_H, vjp_theta, dtheta)
+                return (lam, dtheta), None
+
+            (lam, dtheta), _ = jax.lax.scan(rev_sub, (lam, dtheta), jnp.arange(substeps))
+            return (lam, dtheta), lam
+
+        lam0 = jnp.zeros_like(traj[0])
+        (lam_final, dtheta), _ = jax.lax.scan(
+            interval_reverse, (lam0, zero_theta), jnp.arange(n_save - 1, 0, -1)
+        )
+
+    elif isinstance(adjoint, ContinuousAdjoint):
+        # reverse adaptive integration of dλ/dτ = (∂f/∂H)ᵀ λ with H(t)
+        # linearly interpolated between saved states (gradient.jl:285-301)
+        def interp_traj(t):
+            idx = jnp.clip(jnp.searchsorted(tstops, t, side="right") - 1, 0, n_save - 2)
+            ta, tb = tstops[idx], tstops[idx + 1]
+            w = jnp.where(tb > ta, (t - ta) / (tb - ta), 0.0)
+            return (1.0 - w) * traj[idx] + w * traj[idx + 1]
+
+        def lam_rhs_rev(lam, tau):
+            t = -tau
+            return vjp_H(lam, interp_traj(t), t)
+
+        from odinn_tpu.simulation.solver import _bs32_step
+
+        rtol, atol = 1e-6, 1e-8
+        max_inner = 10_000
+
+        def err_norm(err, a, b):
+            scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+            return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+        def interval_reverse(carry, j):
+            lam, dtheta, dt_guess = carry
+            dlH, dlth = loss_cotangents(j)
+            lam = lam + dlH
+            dtheta = jax.tree.map(jnp.add, dtheta, dlth)
+            if use_mb:
+                lam = pull_mb(lam, j)
+            lam_right = lam   # λ⁺(t_j): post-injection limit inside the interval
+
+            tau0, tau1 = -tstops[j], -tstops[j - 1]
+
+            def cond(state):
+                lam, tau, dt, k1, it = state
+                return (tau < tau1 - 1e-12) & (it < max_inner)
+
+            def bodyf(state):
+                lam, tau, dt, k1, it = state
+                dt_eff = jnp.minimum(dt, tau1 - tau)
+                lam3, err, k4 = _bs32_step(lam_rhs_rev, lam, tau, dt_eff, k1)
+                en = err_norm(err, lam, lam3)
+                accept = en <= 1.0
+                fac = jnp.clip(0.9 * (en + 1e-16) ** (-1.0 / 3.0), 0.2, 5.0)
+                lam = jnp.where(accept, lam3, lam)
+                tau = jnp.where(accept, tau + dt_eff, tau)
+                k1 = jnp.where(accept, k4, k1)
+                return (lam, tau, dt_eff * fac, k1, it + 1)
+
+            k1_0 = lam_rhs_rev(lam, tau0)
+            lam, _, dt_guess, _, _ = jax.lax.while_loop(
+                cond, bodyf, (lam, tau0, dt_guess, k1_0, 0)
+            )
+            # (λ⁺(t_j), λ(t_{j-1}⁺-limit)): the two one-sided limits bracketing
+            # this interval — λ jumps at loss injections, so interval-local
+            # interpolation must use the correct limits on both ends
+            return (lam, dtheta, dt_guess), (lam_right, lam)
+
+        lam0 = jnp.zeros_like(traj[0])
+        dt0 = (tstops[1] - tstops[0]) / max(adjoint.substeps, 1)
+        (lam_final, dtheta, _), (lam_rights, lam_lefts) = jax.lax.scan(
+            interval_reverse, (lam0, zero_theta, dt0), jnp.arange(n_save - 1, 0, -1)
+        )
+        # reorder to interval index b = 0..K-1 (sweep produced K-1..0)
+        lam_rights = lam_rights[::-1]   # λ at t_{b+1} inside interval b
+        lam_lefts = lam_lefts[::-1]     # λ at t_b inside interval b
+
+        # Gauss-quadrature θ contraction (gradient.jl:449-501)
+        if quad_nodes is not None:
+            tq, wq = quad_nodes
+        else:
+            ts = np.asarray(jax.core.concrete_or_error(None, tstops, "continuous adjoint tstops"))
+            tq, wq = gauss_legendre_nodes(float(ts[0]), float(ts[-1]), adjoint.n_quadrature)
+
+        def interp_lam(t):
+            b = jnp.clip(jnp.searchsorted(tstops, t, side="right") - 1, 0, n_save - 2)
+            ta, tb = tstops[b], tstops[b + 1]
+            w = jnp.where(tb > ta, (t - ta) / (tb - ta), 0.0)
+            return (1.0 - w) * lam_lefts[b] + w * lam_rights[b]
+
+        def quad_term(t, w):
+            return jax.tree.map(
+                lambda g: w * g, vjp_theta(interp_lam(t), interp_traj(t), t)
+            )
+
+        contributions = jax.vmap(quad_term)(tq, wq)
+        dtheta = jax.tree.map(lambda acc, c: acc + jnp.sum(c, axis=0), dtheta, contributions)
+    else:
+        raise TypeError(f"unknown adjoint {adjoint!r}")
+
+    # ------- initial-condition gradient (gradient.jl IC handoff) -------
+    if model.initial_condition is not None and "IC" in theta:
+        dH0_filter = model.initial_condition.evaluate_dH0(theta, glacier_idx)
+        ic_grad = lam_final * dH0_filter
+        dtheta = dict(dtheta)
+        dtheta["IC"] = dtheta["IC"].at[glacier_idx].add(ic_grad)
+
+    return loss_val, dtheta
+
+
+def make_adjoint_value_and_grad(inversion, flavor: str = "continuous") -> Callable:
+    """value_and_grad over the glacier batch via a manual adjoint
+    (SIA2D_grad! equivalent, gradient.jl:6-25)."""
+    params = inversion.parameters
+    model = inversion.model
+    batch = inversion.glaciers
+    tstops = build_tstops(params.simulation.tspan, params.solver.step)
+
+    grad_cfg = params.UDE.grad
+    if isinstance(grad_cfg, (DiscreteAdjoint, ContinuousAdjoint)):
+        adjoint = grad_cfg
+    elif flavor == "discrete":
+        adjoint = DiscreteAdjoint()
+    else:
+        adjoint = ContinuousAdjoint()
+
+    quad_nodes = None
+    if isinstance(adjoint, ContinuousAdjoint):
+        ts = np.asarray(tstops)
+        quad_nodes = gauss_legendre_nodes(float(ts[0]), float(ts[-1]), adjoint.n_quadrature)
+
+    @jax.jit
+    def vg(theta):
+        idxs = jnp.arange(batch.H0.shape[0])
+        losses, grads = jax.vmap(
+            lambda g, i: glacier_adjoint_value_and_grad(
+                theta, g, i, model, params, tstops, adjoint, quad_nodes
+            )
+        )(batch, idxs)
+        total = jnp.sum(losses)
+        summed = jax.tree.map(lambda g: jnp.sum(g, axis=0), grads)
+        return total, summed
+
+    return vg

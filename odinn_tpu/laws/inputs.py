@@ -77,7 +77,7 @@ class CPDD:
         months = jnp.arange(n_m)
         t_m = clim.t_start + (months + 0.5) / 12.0
         in_window = (t_m > t - self.window) & (t_m <= t)
-        S = glacier.B + jnp.maximum(state, 0.0) if state is not None else glacier.S
+        S = glacier.B + st.relu_strict(state) if state is not None else glacier.S
         # downscale: T_cell = T_ref + gradient * (S - ref_hgt)
         t2d = clim.temp[:, None, None] + clim.gradient[:, None, None] * (
             S[None] - clim.ref_hgt
@@ -94,7 +94,7 @@ class HbarInput:
     name: str = "Hbar"
 
     def get(self, glacier, state, t):
-        return st.avg(jnp.maximum(state, 0.0))
+        return st.avg(st.relu_strict(state))
 
 
 @dataclass(frozen=True)
@@ -104,7 +104,7 @@ class GradSInput:
     name: str = "gradS"
 
     def get(self, glacier, state, t):
-        s = glacier.B + jnp.maximum(state, 0.0)
+        s = glacier.B + st.relu_strict(state)
         sx, sy = st.grad_slope(s, glacier.dx, glacier.dy)
         return st.safe_norm(sx, sy)
 

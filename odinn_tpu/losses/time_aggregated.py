@@ -1,0 +1,86 @@
+"""Time-aggregated losses: terms that cannot be written as ∫ℓ(H(t))dt.
+
+TPU-native rebuild of /root/reference/src/losses/TimeAggregatedLosses.jl:56-377:
+- ``LossDhdt``  — mean thickness-change rate between two dates vs an observed
+                  dh/dt map (TimeAggregatedLosses.jl:56-170)
+- ``LossAvgV``  — time-weighted average surface speed over an interval vs a
+                  single (annual) velocity map (TimeAggregatedLosses.jl:171-377)
+
+kind = "aggregate": the loss pipeline calls these once per glacier with the
+full saved trajectory, selecting the required tstops with static-shape masked
+reductions (the reference instead registers extra tstops via
+``discretePostIntegralLossSteps`` and post-processes the solution object).
+Backward passes come from reverse-mode AD through the whole trajectory.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from odinn_tpu.core.glacier import is_in_glacier
+from odinn_tpu.losses.losses import L2Sum, simple_loss
+
+__all__ = ["LossDhdt", "LossAvgV"]
+
+
+def _state_at(traj, tstops, t):
+    """Trajectory state at time t by linear interpolation over saved tstops."""
+    idx = jnp.clip(jnp.searchsorted(tstops, t, side="right") - 1, 0, tstops.shape[0] - 2)
+    t0, t1 = tstops[idx], tstops[idx + 1]
+    w = jnp.where(t1 > t0, (t - t0) / (t1 - t0), 0.0)
+    return (1.0 - w) * traj[idx] + w * traj[idx + 1]
+
+
+@dataclass(frozen=True)
+class LossDhdt:
+    """((H(t₂) − H(t₁))/(t₂ − t₁) − dh/dt_obs)² inside the glacier
+    (TimeAggregatedLosses.jl:56-170)."""
+
+    loss: Any = field(default_factory=L2Sum)
+    kind: str = "aggregate"
+
+    def __call__(self, ctx, traj, tstops):
+        dd = ctx.glacier.dhdt_data
+        if dd is None:
+            return jnp.asarray(0.0)
+        h1 = _state_at(traj, tstops, dd.t1)
+        h2 = _state_at(traj, tstops, dd.t2)
+        pred = (h2 - h1) / (dd.t2 - dd.t1)
+        mask = is_in_glacier(h2, self.loss.distance)
+        return simple_loss(self.loss, pred, dd.dhdt, mask, ctx.normalization)
+
+
+@dataclass(frozen=True)
+class LossAvgV:
+    """Δt-weighted average surface speed over [date1, date2] vs a single
+    observed velocity map (TimeAggregatedLosses.jl:171-377)."""
+
+    loss: Any = field(default_factory=L2Sum)
+    kind: str = "aggregate"
+
+    def __call__(self, ctx, traj, tstops):
+        vd = ctx.glacier.velocity_data
+        if vd is None:
+            return jnp.asarray(0.0)
+        v_ref = vd.vabs[0] if vd.vabs.ndim == 3 else vd.vabs
+        t1 = vd.date1 if vd.date1 is not None else tstops[0]
+        t2 = vd.date2 if vd.date2 is not None else tstops[-1]
+        t1 = jnp.reshape(jnp.asarray(t1), ())
+        t2 = jnp.reshape(jnp.asarray(t2), ())
+
+        dts = jnp.diff(tstops)
+        mids_in = (tstops[1:] >= t1) & (tstops[1:] <= t2)
+        w = dts * mids_in
+        w = w / jnp.maximum(jnp.sum(w), 1e-12)
+
+        def speed(H):
+            return ctx.velocity_fn(H, tstops[0])[2]
+
+        speeds = jax.vmap(speed)(traj[1:])
+        v_avg = jnp.tensordot(w, speeds, axes=1)
+        mask = v_ref > 0.0
+        return simple_loss(self.loss, v_avg, v_ref, mask, ctx.normalization)

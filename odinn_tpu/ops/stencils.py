@@ -155,14 +155,24 @@ def avg_y_adjoint(i):
 # mirror /root/reference/src/inverse/SIA2D/inversion_utils.jl:17-44
 # ---------------------------------------------------------------------------
 
+def relu_strict(h):
+    """max(h, 0) with the tie subgradient at h = 0 fixed to 0 (the reference's
+    ``dλ .*= (H .> 0)`` convention, adjoint.jl:148). Plain jnp.maximum splits
+    the gradient 50/50 at ties, which would make the hand-written adjoint and
+    AD disagree on every ice-free cell."""
+    return jnp.where(h > 0.0, h, 0.0)
+
+
 def clamp_borders_dx(ds, h, eta0, dx):
     """Clamp x-edge surface gradients by the upstream ice thickness.
 
-    ds has shape (nx-1, ny-2); h has shape (nx, ny).
+    ds has shape (nx-1, ny-2); h has shape (nx, ny). ``where``-based with
+    strict predicates so the AD transpose equals the hand adjoint below
+    (ties route the full cotangent to ds, none to h).
     """
     upper = eta0 * h[..., 1:, 1:-1] / dx
     lower = -eta0 * h[..., :-1, 1:-1] / dx
-    return jnp.maximum(jnp.minimum(ds, upper), lower)
+    return jnp.where(ds > upper, upper, jnp.where(ds < lower, lower, ds))
 
 
 def clamp_borders_dy(ds, h, eta0, dy):
@@ -172,19 +182,19 @@ def clamp_borders_dy(ds, h, eta0, dy):
     """
     upper = eta0 * h[..., 1:-1, 1:] / dy
     lower = -eta0 * h[..., 1:-1, :-1] / dy
-    return jnp.maximum(jnp.minimum(ds, upper), lower)
+    return jnp.where(ds > upper, upper, jnp.where(ds < lower, lower, ds))
 
 
 def clamp_borders_dx_adjoint(dC, eta0, dx, h, ds):
     """Adjoint of clamp_borders_dx wrt (ds, h).
 
     Returns (∂ds, ∂h). Indicator logic mirrors
-    /root/reference/src/inverse/SIA2D/inversion_utils.jl:22-29 (including its
-    strict-inequality subgradient choices).
+    /root/reference/src/inverse/SIA2D/inversion_utils.jl:22-29; at exact ties
+    the cotangent goes to ds (the exact transpose of the where-based forward).
     """
     up = eta0 * h[..., 1:, 1:-1] / dx
     lo = -eta0 * h[..., :-1, 1:-1] / dx
-    d_ds = dC * ((ds < up) & (ds > lo))
+    d_ds = dC * ((ds <= up) & (ds >= lo))
 
     pad = [(0, 0)] * (dC.ndim - 2)
     contrib_lo = -(eta0 / dx) * dC * (ds < lo)       # → h[:-1, 1:-1]
@@ -199,7 +209,7 @@ def clamp_borders_dy_adjoint(dC, eta0, dy, h, ds):
     """Adjoint of clamp_borders_dy wrt (ds, h); returns (∂ds, ∂h)."""
     up = eta0 * h[..., 1:-1, 1:] / dy
     lo = -eta0 * h[..., 1:-1, :-1] / dy
-    d_ds = dC * ((ds < up) & (ds > lo))
+    d_ds = dC * ((ds <= up) & (ds >= lo))
 
     pad = [(0, 0)] * (dC.ndim - 2)
     contrib_lo = -(eta0 / dy) * dC * (ds < lo)       # → h[1:-1, :-1]

@@ -92,7 +92,8 @@ def mb_timestep(H, glacier, mb: TImodel1, t, step):
     Returns the updated thickness. Pure function — safe to fold into the
     solve's scan step so reverse-mode AD differentiates through it.
     """
-    S = glacier.B + jnp.maximum(H, 0.0)
+    H_pos = jnp.where(H > 0.0, H, 0.0)
+    S = glacier.B + H_pos
     MB = compute_mb(mb, glacier.climate, S, t, step)
-    H_new, _ = apply_mb_mask(jnp.maximum(H, 0.0), MB)
+    H_new, _ = apply_mb_mask(H_pos, MB)
     return H_new

@@ -79,7 +79,7 @@ def sia2d_rhs(
       5. edge surface gradients, clamped by η₀·upstream thickness
       6. fluxes Fx = −D̄x·dS/dx|e, Fy = −D̄y·dS/dy|e;  dH = −∇·F on the interior
     """
-    H = jnp.maximum(H, 0.0)
+    H = st.relu_strict(H)
     S = B + H
 
     gsx, gsy = st.grad_slope(S, dx, dy)           # (nx-1, ny-1) staggered
@@ -109,7 +109,7 @@ def surface_velocity(H, B, dx, dy, values_fn, target, phys):
 
     Huginn.surface_V equivalent: V = −Velocityꜛ(H̄, |∇S|)·∇S
     (usage /root/reference/src/losses/TimeAggregatedLosses.jl:169)."""
-    H = jnp.maximum(H, 0.0)
+    H = st.relu_strict(H)
     S = B + H
     gsx, gsy = st.grad_slope(S, dx, dy)
     grad_s = st.safe_norm(gsx, gsy)

@@ -1,0 +1,287 @@
+"""Inversion: UDE training through the PDE solve.
+
+TPU-native rebuild of the reference's training layer:
+- ``Inversion <: Simulation`` (/root/reference/src/simulations/inversions/Inversion.jl:16-62)
+- ``run!(::Inversion)`` staged-optimizer loop (inversion_utils.jl:21-88)
+- ``train_UDE!`` (inversion_utils.jl:112-238)
+- forward-loss pipeline ``loss_iceflow_transient`` →
+  ``batch_loss_iceflow_transient`` (inversion_utils.jl:270-610)
+
+Design: the entire per-iteration computation — vmapped multi-glacier PDE
+solve, transient loss, reverse-mode gradient — is ONE jit-compiled function.
+Per-glacier batching, worker processes, and `pmap` reductions
+(ML_utils.jl:81-231) collapse into a single `vmap` + tree-sum; mesh sharding
+of the glacier axis happens outside via `shard_map`
+(odinn_tpu.parallel.mesh), with θ-gradients psum-reduced over ICI.
+
+Gradient path selection (params.UDE.grad, /root/reference/src/parameters/
+UDEparameters.jl:14-80): "jax" (AD through the checkpointed solve — the
+default correctness oracle), "discrete"/"continuous" (hand-written adjoints,
+odinn_tpu.inverse), "dummy" (pipeline testing, DummyAdjoint equivalent).
+"""
+
+from __future__ import annotations
+
+import time
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from odinn_tpu.core.glacier import Glacier, stack_glaciers
+from odinn_tpu.losses.losses import LossContext, LossH, MultiLoss, loss_uses_velocity, term_kind
+from odinn_tpu.models.model import Model, init_theta, make_values_fn, resolve_outer_values
+from odinn_tpu.physics.sia2d import v_from_h
+from odinn_tpu.simulation.prediction import forward_glacier
+from odinn_tpu.simulation.results import Results, TrainingStats
+from odinn_tpu.simulation.solver import build_tstops
+
+__all__ = ["Inversion", "glacier_transient_loss", "batch_transient_loss", "train_ude", "run_inversion"]
+
+
+def _default_loss():
+    return MultiLoss(terms=(LossH(),), weights=(1.0,))
+
+
+def glacier_transient_loss(theta, glacier, glacier_idx, model, params, tstops):
+    """Transient loss for one glacier: Σ_τ Δt_τ · ℓ(H(t_τ), refs(t_τ)).
+
+    Mirrors ``batch_loss_iceflow_transient``
+    (/root/reference/src/simulations/inversions/inversion_utils.jl:383-460):
+    solve, then accumulate the per-tstop empirical loss weighted by the step
+    length, with normalization = number of grid cells.
+    """
+    loss_cfg = params.UDE.empirical_loss_function or _default_loss()
+    if not isinstance(loss_cfg, MultiLoss):
+        loss_cfg = MultiLoss(terms=(loss_cfg,), weights=(1.0,))
+    traj = forward_glacier(theta, glacier, glacier_idx, model, params, tstops)
+    dts = jnp.diff(tstops)
+    npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
+
+    t0 = tstops[0]
+    outer = resolve_outer_values(model, theta, glacier, glacier_idx, t0)
+    vfn = make_values_fn(model, theta, glacier, glacier_idx, t0, outer)
+
+    def velocity_fn(H, t):
+        return v_from_h(H, glacier.B, glacier.dx, glacier.dy, vfn, model.target, params.physical)
+
+    td = glacier.thickness_data
+    vd = glacier.velocity_data
+
+    def make_ctx(H_ref=None, V_ref=None, Vx_ref=None, Vy_ref=None):
+        return LossContext(
+            H_ref=H_ref, V_ref=V_ref, Vx_ref=Vx_ref, Vy_ref=Vy_ref,
+            velocity_fn=velocity_fn,
+            normalization=jnp.asarray(float(npix)),
+            theta=theta,
+            glacier_idx=glacier_idx,
+            glacier=glacier,
+            dx=glacier.dx,
+            dy=glacier.dy,
+        )
+
+    transient = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms) if term_kind(t_) == "transient"]
+    initial = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms) if term_kind(t_) == "initial"]
+    aggregate = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms) if term_kind(t_) == "aggregate"]
+
+    total = jnp.asarray(0.0, traj.dtype)
+
+    if transient:
+
+        def step_loss(tau):
+            ctx = make_ctx(
+                H_ref=None if td is None else td.H[tau],
+                V_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vabs[tau],
+                Vx_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vx[tau],
+                Vy_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vy[tau],
+            )
+            acc = jnp.asarray(0.0, traj.dtype)
+            for w, term in transient:
+                acc = acc + w * term(ctx, traj[tau], tstops[tau])
+            return acc
+
+        taus = jnp.arange(1, tstops.shape[0])
+        per_t = jax.vmap(step_loss)(taus)
+        total = total + jnp.sum(per_t * dts)
+
+    if initial:
+        # initial-state terms see the filtered trainable H₀ (or the data H₀)
+        if model.initial_condition is not None and theta is not None and "IC" in theta:
+            h_init = model.initial_condition.evaluate_H0(theta, glacier_idx)
+        else:
+            h_init = glacier.H0
+        ctx0 = make_ctx()
+        for w, term in initial:
+            total = total + w * term(ctx0, h_init, t0)
+
+    if aggregate:
+        ctx_a = make_ctx()
+        for w, term in aggregate:
+            total = total + w * term(ctx_a, traj, tstops)
+
+    return total, traj
+
+
+def batch_transient_loss(theta, batch, model, params, tstops):
+    """Sum of transient losses over the stacked glacier batch (the reference's
+    pmap-then-sum, inversion_utils.jl:287-296, as one vmap + reduce)."""
+    idxs = jnp.arange(batch.H0.shape[0])
+    losses, _ = jax.vmap(
+        lambda g, i: glacier_transient_loss(theta, g, i, model, params, tstops)
+    )(batch, idxs)
+    return jnp.sum(losses)
+
+
+@dataclass
+class Inversion:
+    """Functional/classical inversion simulation (ODINN.Inversion equivalent,
+    /root/reference/src/simulations/inversions/Inversion.jl:16-62)."""
+
+    model: Model
+    glaciers: Any
+    parameters: Any
+    results: Optional[Results] = None
+    theta: Any = None
+
+    def __post_init__(self):
+        if isinstance(self.glaciers, (list, tuple)):
+            self.glaciers = stack_glaciers(list(self.glaciers))
+        if self.theta is None:
+            dtype = jnp.float64 if self.parameters.simulation.float_dtype == "float64" else jnp.float32
+            self.theta = init_theta(self.model, self.glaciers, dtype)
+
+
+def _stages(hyper) -> Sequence[Tuple[str, float, int]]:
+    """Normalize (optimizer, lr, epochs) stages — the staged ADAM→BFGS
+    training of inversion_utils.jl:37-59."""
+    opts = hyper.optimizer if isinstance(hyper.optimizer, (tuple, list)) else (hyper.optimizer,)
+    eps = hyper.epochs if isinstance(hyper.epochs, (tuple, list)) else (hyper.epochs,)
+    lrs = hyper.learning_rate if isinstance(hyper.learning_rate, (tuple, list)) else (
+        hyper.learning_rate,
+    ) * len(opts)
+    if len(eps) != len(opts):
+        raise ValueError("hyper.epochs and hyper.optimizer stage counts differ")
+    return list(zip(opts, lrs, eps))
+
+
+def _make_grad_fn(inversion: Inversion, loss_fn):
+    """Gradient path dispatch on params.UDE.grad (AdjointTypes equivalent)."""
+    grad_cfg = inversion.parameters.UDE.grad
+    name = grad_cfg if isinstance(grad_cfg, str) else getattr(grad_cfg, "name", "jax")
+    if name in ("jax", "sciml"):
+        return jax.value_and_grad(loss_fn)
+    if name == "dummy":
+        # DummyAdjoint (/root/reference/src/inverse/AdjointTypes.jl:80-107):
+        # pipeline testing with a random (or user-supplied) gradient.
+        def vg(theta):
+            val = loss_fn(theta)
+            leaves, treedef = jax.tree.flatten(theta)
+            key = jax.random.PRNGKey(0)
+            keys = jax.random.split(key, len(leaves))
+            grads = [jax.random.normal(k, l.shape, l.dtype) for k, l in zip(keys, leaves)]
+            return val, jax.tree.unflatten(treedef, grads)
+
+        return vg
+    if name in ("discrete", "continuous"):
+        from odinn_tpu.inverse.gradient import make_adjoint_value_and_grad
+
+        return make_adjoint_value_and_grad(inversion, flavor=name)
+    raise ValueError(f"unknown adjoint method {name!r}")
+
+
+def train_ude(inversion: Inversion, callback: Optional[Callable] = None) -> Results:
+    """Staged training loop (``train_UDE!`` equivalent).
+
+    Adam stages use plain optax; LBFGS uses optax.lbfgs with zoom linesearch
+    (the reference's Optimization.jl BFGS/LBFGS with backtracking,
+    inversion_utils.jl:112-238). θ warm-starts across stages.
+    """
+    params = inversion.parameters
+    tstops = build_tstops(params.simulation.tspan, params.solver.step)
+    model = inversion.model
+    batch = inversion.glaciers
+
+    def loss_fn(theta):
+        return batch_transient_loss(theta, batch, model, params, tstops)
+
+    stats = TrainingStats()
+    theta = inversion.theta
+    grad_cfg = params.UDE.grad
+    grad_name = grad_cfg if isinstance(grad_cfg, str) else getattr(grad_cfg, "name", "jax")
+
+    for opt_name, lr, epochs in _stages(params.hyper):
+        opt_name = opt_name.lower()
+        if opt_name in ("adam", "adamw"):
+            opt = optax.adam(lr) if opt_name == "adam" else optax.adamw(lr)
+            vg = jax.jit(_make_grad_fn(inversion, loss_fn)) if grad_name in ("jax", "sciml") else _make_grad_fn(inversion, loss_fn)
+            state = opt.init(theta)
+
+            @jax.jit
+            def step(theta, state):
+                val, grads = vg(theta)
+                updates, state = opt.update(grads, state, theta)
+                return optax.apply_updates(theta, updates), state, val, grads
+
+            for it in range(epochs):
+                t_start = time.time()
+                theta, state, val, grads = step(theta, state)
+                _record(stats, float(val), theta, grads, time.time() - t_start)
+                if callback is not None:
+                    callback(stats)
+        elif opt_name in ("lbfgs", "bfgs"):
+            opt = optax.lbfgs(
+                linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20)
+            )
+            state = opt.init(theta)
+            vg_raw = _make_grad_fn(inversion, loss_fn)
+            value_fn = jax.jit(loss_fn) if grad_name in ("jax", "sciml") else loss_fn
+            vg = jax.jit(vg_raw) if grad_name in ("jax", "sciml") else vg_raw
+
+            @jax.jit
+            def lbfgs_step(theta, state, val, grads):
+                updates, state = opt.update(
+                    grads, state, theta, value=val, grad=grads, value_fn=loss_fn
+                )
+                return optax.apply_updates(theta, updates), state
+
+            for it in range(epochs):
+                t_start = time.time()
+                val, grads = vg(theta)
+                theta, state = lbfgs_step(theta, state, val, grads)
+                _record(stats, float(val), theta, grads, time.time() - t_start)
+                if callback is not None:
+                    callback(stats)
+        else:
+            raise ValueError(f"unknown optimizer {opt_name!r}")
+
+    stats.retcode = "Success"
+    stats.theta = theta
+    if model.initial_condition is not None and "IC" in theta:
+        stats.initial_conditions = theta["IC"]
+    inversion.theta = theta
+    inversion.results = Results(stats=stats)
+    return inversion.results
+
+
+def _record(stats: TrainingStats, val, theta, grads, dt):
+    stats.losses.append(val)
+    stats.niter += 1
+    stats.theta = theta
+    gnorm = float(
+        jnp.sqrt(
+            sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
+        )
+    )
+    stats.grad_norm_hist.append(gnorm)
+    stats.time_per_iter.append(dt)
+    if gnorm > 1e7:
+        # gradient-explosion warning (gradient.jl:19-24)
+        print(f"[odinn_tpu] WARNING: gradient norm {gnorm:.3e} > 1e7")
+
+
+def run_inversion(inversion: Inversion, callback=None) -> Results:
+    """``run!(::Inversion)`` equivalent (inversion_utils.jl:21-88)."""
+    return train_ude(inversion, callback=callback)

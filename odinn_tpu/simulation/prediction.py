@@ -1,0 +1,188 @@
+"""Forward simulation: Prediction + ground-truth generation.
+
+TPU-native rebuild of Huginn's ``Prediction(model, glaciers, params)`` +
+``run!`` and ``generate_ground_truth`` (usage /root/reference/README.md:60-84,
+test/test_grad_loss.jl:170-177).
+
+Design: one pure per-glacier forward function, ``vmap``-ed over the stacked
+glacier batch — the whole fleet of glaciers advances in lockstep on one chip
+(and shards across the mesh, see odinn_tpu.parallel) instead of the
+reference's one-process-per-glacier ``pmap``
+(/root/reference/src/setup/config.jl:97-139).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from odinn_tpu.core.glacier import Glacier, SurfaceVelocityData, ThicknessData, stack_glaciers
+from odinn_tpu.models.model import Model, init_theta, make_values_fn, resolve_outer_values
+from odinn_tpu.physics.mass_balance import mb_timestep
+from odinn_tpu.physics.sia2d import sia2d_rhs, v_from_h
+from odinn_tpu.simulation.solver import build_tstops, integrate_scan
+
+__all__ = ["forward_glacier", "forward_batch", "Prediction", "run_prediction", "generate_ground_truth"]
+
+
+def _mb_every(params) -> int:
+    """MB callback cadence in save intervals: step_MB / solver.step."""
+    k = round(params.simulation.step_MB / params.solver.step)
+    return max(int(k), 1)
+
+
+def forward_glacier(
+    theta,
+    glacier: Glacier,
+    glacier_idx,
+    model: Model,
+    params,
+    tstops,
+    H0=None,
+):
+    """Solve one glacier over ``tstops``; returns the trajectory (T, nx, ny).
+
+    Assembles the callback set the reference builds at
+    /root/reference/src/simulations/inversions/inversion_utils.jl:487-527:
+    outer laws evaluated at solve start, inner laws per RHS call, MB applied
+    at every ``step_MB`` interval end. Differentiable end to end (the scan
+    path), including through the MB application.
+    """
+    phys = params.physical
+    t0 = tstops[0]
+    if H0 is None:
+        if model.initial_condition is not None and theta is not None and "IC" in theta:
+            H0 = model.initial_condition.evaluate_H0(theta, glacier_idx)
+        else:
+            H0 = glacier.H0
+
+    outer_vals = resolve_outer_values(model, theta, glacier, glacier_idx, t0, H=H0)
+    values_fn = make_values_fn(model, theta, glacier, glacier_idx, t0, outer_vals)
+    target = model.target
+
+    def rhs(H, t):
+        if not params.simulation.use_iceflow:
+            return jnp.zeros_like(H)
+        return sia2d_rhs(H, glacier.B, glacier.dx, glacier.dy, values_fn, target, phys)
+
+    callback = None
+    if params.simulation.use_MB and model.mass_balance is not None:
+        k = _mb_every(params)
+        step_mb = params.simulation.step_MB
+
+        def callback(H, ta, tb, i):
+            def apply(H):
+                return mb_timestep(H, glacier, model.mass_balance, tb, step_mb)
+
+            return jax.lax.cond((i + 1) % k == 0, apply, lambda H: H, H)
+
+    return integrate_scan(
+        rhs,
+        H0,
+        tstops,
+        params.solver.substeps,
+        method=params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler") else "RK4",
+        callback=callback,
+    )
+
+
+def forward_batch(theta, batch: Glacier, model: Model, params, tstops):
+    """vmap the forward solve over the stacked glacier batch.
+
+    Returns trajectories of shape (n_glaciers, T, nx, ny).
+    """
+    idxs = jnp.arange(batch.H0.shape[0])
+    return jax.vmap(
+        lambda g, i: forward_glacier(theta, g, i, model, params, tstops)
+    )(batch, idxs)
+
+
+@dataclass
+class Prediction:
+    """Forward-simulation container (Huginn.Prediction equivalent)."""
+
+    model: Model
+    glaciers: Any                       # stacked batch or list of Glacier
+    parameters: Any
+    theta: Any = None
+    results: Any = None
+
+    def __post_init__(self):
+        if isinstance(self.glaciers, (list, tuple)):
+            self.glaciers = stack_glaciers(list(self.glaciers))
+
+
+def run_prediction(pred: Prediction, tstops=None):
+    """Huginn ``run!(prediction)`` equivalent: jit-compiled vmapped solve;
+    stores trajectories and diagnostic velocities into ``pred.results``."""
+    params = pred.parameters
+    if tstops is None:
+        tstops = build_tstops(params.simulation.tspan, params.solver.step)
+    theta = pred.theta
+
+    fwd = jax.jit(
+        lambda th, batch: forward_batch(th, batch, pred.model, params, tstops)
+    )
+    trajs = fwd(theta, pred.glaciers)
+
+    results = {"t": tstops, "H": trajs}
+    if params.simulation.use_velocities:
+        batch = pred.glaciers
+        idxs = jnp.arange(batch.H0.shape[0])
+
+        def vel(g, i, H):
+            t0 = tstops[0]
+            outer = resolve_outer_values(pred.model, theta, g, i, t0, H=H)
+            vfn = make_values_fn(pred.model, theta, g, i, t0, outer)
+            return v_from_h(H, g.B, g.dx, g.dy, vfn, pred.model.target, params.physical)
+
+        vx, vy, vabs = jax.jit(
+            lambda batch, trajs: jax.vmap(
+                lambda g, i, traj: jax.vmap(lambda H: vel(g, i, H))(traj)
+            )(batch, idxs, trajs)
+        )(batch, trajs)
+        results.update({"Vx": vx, "Vy": vy, "V": vabs})
+    pred.results = results
+    return results
+
+
+def generate_ground_truth(
+    glaciers: Sequence[Glacier],
+    params,
+    model: Model,
+    tstops,
+    theta=None,
+    store: Tuple[str, ...] = ("H", "V"),
+):
+    """Run the forward model and write synthetic observations into the
+    glaciers (Huginn.generate_ground_truth equivalent; usage
+    /root/reference/test/test_grad_loss.jl:170-177).
+
+    Returns new Glacier objects with ``thickness_data`` / ``velocity_data``
+    attached (immutably — the reference mutates its glacier structs).
+    """
+    pred = Prediction(model=model, glaciers=list(glaciers), parameters=params, theta=theta)
+    results = run_prediction(pred, tstops=jnp.asarray(tstops))
+    out = []
+    for i, g in enumerate(glaciers):
+        nx, ny = g.nx, g.ny
+        gi = g
+        if "H" in store:
+            gi = gi.replace(
+                thickness_data=ThicknessData(t=results["t"], H=results["H"][i, :, :nx, :ny])
+            )
+        if "V" in store and "V" in results:
+            gi = gi.replace(
+                velocity_data=SurfaceVelocityData(
+                    t=results["t"],
+                    vx=results["Vx"][i, :, :nx, :ny],
+                    vy=results["Vy"][i, :, :nx, :ny],
+                    vabs=results["V"][i, :, :nx, :ny],
+                )
+            )
+        out.append(gi)
+    return out

@@ -1,0 +1,115 @@
+"""End-to-end functional inversion: recover A(T) from synthetic ground truth.
+
+Mirrors the reference's integration test
+(/root/reference/test/inversion_test.jl:1-165): generate ground truth with the
+Cuffey–Paterson law, train a NN law A = NN(T) through the PDE solve, assert
+the loss collapses and the recovered A matches the truth.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odinn_tpu.core.params import (
+    Hyperparameters,
+    Parameters,
+    PhysicalParameters,
+    SimulationParameters,
+    SolverParameters,
+    UDEParameters,
+)
+from odinn_tpu.data.synthetic import halfar_glacier
+from odinn_tpu.laws.laws import CuffeyPaterson, LawA, eval_law, poly_A_paterson_cuffey
+from odinn_tpu.models.model import Model, SIA2DModel
+from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+from odinn_tpu.simulation.inversion import Inversion, run_inversion
+from odinn_tpu.simulation.prediction import generate_ground_truth
+from odinn_tpu.simulation.solver import build_tstops
+
+
+def make_params(tspan, substeps=20, optimizer=("adam", "lbfgs"), lr=(0.05, 1.0), epochs=(30, 40)):
+    return Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=tspan, use_MB=False, use_velocities=False,
+                                        test_mode=True),
+        solver=SolverParameters(step=1.0 / 12.0, substeps=substeps),
+        hyper=Hyperparameters(optimizer=optimizer, learning_rate=lr, epochs=epochs),
+        UDE=UDEParameters(grad="jax", target="A"),
+    )
+
+
+@pytest.fixture(scope="module")
+def inversion_setup():
+    tspan = (5.0, 6.5)
+    params = make_params(tspan)
+    # truth temperatures chosen so Cuffey–Paterson A stays inside
+    # [min_A, max_A] (reference bounds) and the explicit scheme is stable
+    glaciers = [
+        halfar_glacier(nx=40, ny=40, dx=120.0, temp=-15.0, rgi_id="toy-1"),
+        halfar_glacier(nx=40, ny=40, dx=120.0, temp=-25.0, rgi_id="toy-2"),
+    ]
+    truth_model = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
+    tstops = build_tstops(tspan, params.solver.step)
+    glaciers = generate_ground_truth(glaciers, params, truth_model, tstops, store=("H",))
+    return params, glaciers
+
+
+def test_functional_inversion_converges(inversion_setup):
+    params, glaciers = inversion_setup
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=666)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    results = run_inversion(inv)
+    losses = results.stats.losses
+    # reference gate is 1e-6× initial after longer training
+    # (/root/reference/test/inversion_test.jl:154-156); calibrated for the
+    # shorter CI stage count here
+    assert losses[-1] < 1e-3 * losses[0], f"loss did not collapse: {losses[0]} -> {losses[-1]}"
+
+    # recovered A vs Cuffey–Paterson truth at both glacier temperatures
+    a_true = poly_A_paterson_cuffey()
+    law = model.iceflow.A
+    for g, temp, gate in [(0, -15.0, 5e-3), (1, -25.0, 0.15)]:
+        a_nn = float(eval_law(law, inv.theta, glaciers[g], glacier_idx=g))
+        a_ref = float(a_true(jnp.asarray(temp)))
+        rel = abs(a_nn - a_ref) / a_ref
+        assert rel < gate, f"T={temp}: A_nn={a_nn:.3e} vs A_ref={a_ref:.3e} (rel {rel:.3f})"
+
+
+def test_dummy_adjoint_pipeline(inversion_setup):
+    """Training-pipeline smoke test with a fake gradient (grad_free_test.jl
+    equivalent, /root/reference/test/grad_free_test.jl:1-91)."""
+    params, glaciers = inversion_setup
+    params = params.replace(
+        UDE=UDEParameters(grad="dummy", target="A"),
+        hyper=Hyperparameters(optimizer="adam", learning_rate=1e-4, epochs=2),
+    )
+    nn = NeuralNetwork(default_architecture(1, light=True))
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    results = run_inversion(inv)
+    assert results.stats.niter == 2
+    assert all(np.isfinite(results.stats.losses))
+
+
+def test_classical_inversion_scalar_A(inversion_setup):
+    """Per-glacier scalar A inversion (LawA classical variant,
+    /root/reference/src/laws/Laws.jl:402-460)."""
+    from odinn_tpu.laws.laws import LawA_inversion
+
+    params, glaciers = inversion_setup
+    params = params.replace(
+        hyper=Hyperparameters(optimizer=("adam",), learning_rate=(0.1,), epochs=(40,))
+    )
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    results = run_inversion(inv)
+    losses = results.stats.losses
+    assert losses[-1] < 0.05 * losses[0]
+    a_true = poly_A_paterson_cuffey()
+    phys = params.physical
+    a_rec = phys.min_A + (phys.max_A - phys.min_A) * (np.tanh(np.asarray(inv.theta["A"])) + 1) / 2
+    for g, temp in [(0, -15.0), (1, -25.0)]:
+        a_ref = float(a_true(jnp.asarray(temp)))
+        assert abs(a_rec[g] - a_ref) / a_ref < 0.2, f"glacier {g}: {a_rec[g]:.3e} vs {a_ref:.3e}"

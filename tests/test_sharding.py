@@ -1,0 +1,99 @@
+"""Mesh-sharded training: the TPU-native stand-in for the reference's
+local-worker multiprocessing test (/root/reference/test/inversion_test.jl:13-18,
+workers=3) — an 8-virtual-device CPU mesh with the glacier axis sharded.
+
+Checks that the sharded loss/gradient equal the single-device values exactly
+(the psum-over-mesh reduction must be bitwise-equivalent up to fp reduction
+order).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odinn_tpu.core.params import (
+    Hyperparameters,
+    Parameters,
+    PhysicalParameters,
+    SimulationParameters,
+    SolverParameters,
+    UDEParameters,
+)
+from odinn_tpu.core.glacier import stack_glaciers
+from odinn_tpu.data.synthetic import halfar_glacier
+from odinn_tpu.laws.laws import CuffeyPaterson, LawA
+from odinn_tpu.models.model import Model, SIA2DModel, init_theta
+from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+from odinn_tpu.parallel.mesh import make_mesh, pad_batch_to, replicate, shard_glacier_axis
+from odinn_tpu.simulation.inversion import batch_transient_loss
+from odinn_tpu.simulation.prediction import generate_ground_truth
+from odinn_tpu.simulation.solver import build_tstops
+
+
+@pytest.fixture(scope="module")
+def problem():
+    tspan = (5.0, 5.5)
+    params = Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=tspan, use_MB=False, use_velocities=False),
+        solver=SolverParameters(step=1.0 / 12.0, substeps=6),
+        hyper=Hyperparameters(optimizer="adam", learning_rate=1e-2, epochs=1),
+        UDE=UDEParameters(grad="jax"),
+    )
+    temps = np.linspace(-25.0, -14.0, 8)
+    glaciers = [
+        halfar_glacier(nx=24, ny=24, dx=150.0, temp=float(t), rgi_id=f"s{i}")
+        for i, t in enumerate(temps)
+    ]
+    tstops = build_tstops(tspan, params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=1)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    batch = stack_glaciers(glaciers)
+    theta = init_theta(model, batch)
+    return params, model, batch, theta, tstops
+
+
+def test_sharded_loss_matches_single_device(problem):
+    params, model, batch, theta, tstops = problem
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+
+    loss_fn = lambda th, b: batch_transient_loss(th, b, model, params, tstops)
+    ref_val, ref_grads = jax.jit(jax.value_and_grad(loss_fn))(theta, batch)
+
+    mesh = make_mesh(8)
+    sb, _ = pad_batch_to(batch, 8)
+    sb = shard_glacier_axis(sb, mesh)
+    st = replicate(theta, mesh)
+    val, grads = jax.jit(jax.value_and_grad(loss_fn))(st, sb)
+
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+def test_sharded_batch_placement(problem):
+    params, model, batch, theta, tstops = problem
+    mesh = make_mesh(8)
+    sb, orig = pad_batch_to(batch, 8)
+    assert orig == 8
+    sb = shard_glacier_axis(sb, mesh)
+    shard_counts = {len(sb.H0.sharding.device_set)}
+    assert shard_counts == {8}, f"glacier axis not spread over mesh: {shard_counts}"
+
+
+def test_pad_batch_contributes_zero(problem):
+    """Padded lanes (repeated glacier, zeroed observations) add zero loss."""
+    params, model, batch, theta, tstops = problem
+    # take 5 glaciers, pad to 8
+    batch5 = jax.tree.map(
+        lambda x: x[:5] if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 8 else x,
+        batch,
+    )
+    loss5 = float(batch_transient_loss(theta, batch5, model, params, tstops))
+    padded, orig = pad_batch_to(batch5, 8)
+    assert orig == 5 and padded.H0.shape[0] == 8
+    loss8 = float(batch_transient_loss(theta, padded, model, params, tstops))
+    np.testing.assert_allclose(loss8, loss5, rtol=1e-12)
