@@ -1,0 +1,200 @@
+"""Glacier data I/O: RGI-style preprocessed rasters.
+
+TPU-native rebuild of Sleipnir's data layer entry points
+(``get_rgi_paths``, ``initialize_glaciers``, ``fake_multi_datacube``; usage
+/root/reference/README.md:63, test/test_grad_loss.jl:151-162).
+
+The reference reads Gungnir/OGGM-preprocessed NetCDF rasters. This
+environment has no NetCDF stack and no network, so the on-disk contract here
+is a documented ``.npz`` per glacier (the Gungnir-equivalent preprocessing
+step writes it; :func:`write_glacier_npz` is the producer):
+
+    <prepro_dir>/<rgi_id>.npz with arrays:
+      H0 (nx, ny)        initial ice thickness [m]      (Farinotti et al. 2019)
+      B  (nx, ny)        bedrock elevation [m]
+      dx, dy ()          grid spacing [m]
+      coords_x (nx,), coords_y (ny,)
+      longterm_temp ()   mean long-term air temperature [°C]
+      temp (n_months,), gradient (n_months,), snow (n_months,)   monthly series
+      ref_hgt (), t_start ()
+      optional: A (), C (), n ()
+
+Grid downscaling by ``params.simulation.grid_scaling_factor`` mirrors the
+reference's gridScalingFactor (test/test_grad_loss.jl:119).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from odinn_tpu.core.glacier import Climate2D, DummyClimate2D, Glacier, SurfaceVelocityData
+
+__all__ = [
+    "get_rgi_paths",
+    "initialize_glaciers",
+    "write_glacier_npz",
+    "fake_multi_datacube",
+    "generate_synthetic_rgi_dir",
+]
+
+_PREPRO_ENV = "ODINN_TPU_PREPRO_DIR"
+
+
+def get_rgi_paths(prepro_dir: Optional[str] = None) -> Dict[str, str]:
+    """Map rgi_id → file path under the preprocessing directory
+    (Sleipnir.get_rgi_paths equivalent)."""
+    root = prepro_dir or os.environ.get(_PREPRO_ENV, os.path.join(os.getcwd(), "data", "prepro"))
+    if not os.path.isdir(root):
+        return {}
+    return {
+        os.path.splitext(f)[0]: os.path.join(root, f)
+        for f in sorted(os.listdir(root))
+        if f.endswith(".npz")
+    }
+
+
+def _downscale(a: np.ndarray, k: int) -> np.ndarray:
+    if k <= 1:
+        return a
+    nx, ny = (a.shape[0] // k) * k, (a.shape[1] // k) * k
+    return a[:nx, :ny].reshape(nx // k, k, ny // k, k).mean(axis=(1, 3))
+
+
+def initialize_glaciers(
+    rgi_ids: Sequence[str], params, prepro_dir: Optional[str] = None,
+    velocity_datacubes=None,
+) -> List[Glacier]:
+    """Load glaciers from preprocessed files (Sleipnir.initialize_glaciers
+    equivalent)."""
+    paths = get_rgi_paths(prepro_dir)
+    k = params.simulation.grid_scaling_factor
+    out = []
+    for rid in rgi_ids:
+        if rid not in paths:
+            raise FileNotFoundError(
+                f"no preprocessed file for {rid}; set ${_PREPRO_ENV} or run the "
+                "Gungnir-equivalent preprocessing (see write_glacier_npz)"
+            )
+        with np.load(paths[rid]) as z:
+            H0 = _downscale(z["H0"], k)
+            B = _downscale(z["B"], k)
+            dx = float(z["dx"]) * k
+            dy = float(z["dy"]) * k
+            nx, ny = H0.shape
+            if "temp" in z.files:
+                climate = Climate2D(
+                    t_start=jnp.asarray(float(z["t_start"])),
+                    temp=jnp.asarray(z["temp"]),
+                    gradient=jnp.asarray(z["gradient"]),
+                    snow=jnp.asarray(z["snow"]),
+                    ref_hgt=jnp.asarray(float(z["ref_hgt"])),
+                    longterm_temps_scalar=jnp.asarray(float(z["longterm_temp"])),
+                    longterm_temps_gridded=jnp.full((nx, ny), float(z["longterm_temp"])),
+                )
+            else:
+                climate = DummyClimate2D(
+                    longterm_temps_scalar=jnp.asarray(float(z["longterm_temp"])),
+                    longterm_temps_gridded=jnp.full((nx, ny), float(z["longterm_temp"])),
+                )
+            def down1d(v):
+                if k <= 1:
+                    return v
+                m = (v.shape[0] // k) * k
+                return v[:m].reshape(-1, k).mean(axis=1)
+
+            cx = jnp.asarray(down1d(z["coords_x"])) if "coords_x" in z.files else jnp.arange(nx) * dx
+            cy = jnp.asarray(down1d(z["coords_y"])) if "coords_y" in z.files else jnp.arange(ny) * dy
+            g = Glacier(
+                H0=jnp.asarray(H0),
+                B=jnp.asarray(B),
+                dx=jnp.asarray(dx),
+                dy=jnp.asarray(dy),
+                A=jnp.asarray(float(z["A"]) if "A" in z.files else 4e-17),
+                C=jnp.asarray(float(z["C"]) if "C" in z.files else 0.0),
+                n=jnp.asarray(float(z["n"]) if "n" in z.files else 3.0),
+                mask=jnp.ones_like(jnp.asarray(H0)),
+                coords_x=cx,
+                coords_y=cy,
+                climate=climate,
+                rgi_id=rid,
+            )
+        if velocity_datacubes is not None and rid in velocity_datacubes:
+            g = g.replace(velocity_data=velocity_datacubes[rid])
+        out.append(g)
+    return out
+
+
+def write_glacier_npz(path: str, glacier: Glacier, longterm_temp: float) -> None:
+    """Producer side of the preprocessing contract (Gungnir-equivalent)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    payload = dict(
+        H0=np.asarray(glacier.H0),
+        B=np.asarray(glacier.B),
+        dx=np.asarray(glacier.dx),
+        dy=np.asarray(glacier.dy),
+        coords_x=np.asarray(glacier.coords_x),
+        coords_y=np.asarray(glacier.coords_y),
+        longterm_temp=np.asarray(longterm_temp),
+        A=np.asarray(glacier.A),
+        C=np.asarray(glacier.C),
+        n=np.asarray(glacier.n),
+    )
+    clim = glacier.climate
+    if hasattr(clim, "temp") and clim.temp is not None:
+        payload.update(
+            temp=np.asarray(clim.temp),
+            gradient=np.asarray(clim.gradient),
+            snow=np.asarray(clim.snow),
+            ref_hgt=np.asarray(clim.ref_hgt),
+            t_start=np.asarray(clim.t_start),
+        )
+    np.savez_compressed(path, **payload)
+
+
+def generate_synthetic_rgi_dir(dirpath: str, n: int = 4, nx: int = 64, ny: int = 64,
+                               seed: int = 0) -> List[str]:
+    """Write a synthetic preprocessed dataset (Halfar domes over random
+    temperatures) so the loading path is exercisable without OGGM data."""
+    from odinn_tpu.data.synthetic import halfar_glacier, monthly_dummy_climate
+
+    rng = np.random.default_rng(seed)
+    ids = []
+    for i in range(n):
+        temp = float(rng.uniform(-25.0, -12.0))
+        clim = monthly_dummy_climate(2010.0, 72, longterm_temp=temp, nx=nx, ny=ny)
+        g = halfar_glacier(nx=nx, ny=ny, dx=float(rng.uniform(80, 150)), temp=temp,
+                           climate=clim, rgi_id=f"RGI60-99.{i:05d}")
+        write_glacier_npz(os.path.join(dirpath, f"{g.rgi_id}.npz"), g, temp)
+        ids.append(g.rgi_id)
+    return ids
+
+
+def fake_multi_datacube(glacier: Glacier, tstops, noise: float = 0.0, seed: int = 0):
+    """Fake surface-velocity datacube (Sleipnir.fake_multi_datacube
+    equivalent; usage /root/reference/test/test_grad_loss.jl:151-156):
+    synthesizes a SurfaceVelocityData from the glacier's own diagnostic
+    velocity plus optional noise."""
+    import jax
+
+    from odinn_tpu.core.params import PhysicalParameters
+    from odinn_tpu.physics.sia2d import default_values, v_from_h
+    from odinn_tpu.physics.targets import ATarget
+
+    phys = PhysicalParameters()
+    vals = default_values(glacier)
+    vx, vy, v = v_from_h(
+        glacier.H0, glacier.B, glacier.dx, glacier.dy, lambda hb, gs: vals, ATarget(), phys
+    )
+    tstops = jnp.asarray(tstops)
+    reps = tstops.shape[0]
+    vx = jnp.repeat(vx[None], reps, 0)
+    vy = jnp.repeat(vy[None], reps, 0)
+    v = jnp.repeat(v[None], reps, 0)
+    if noise > 0:
+        key = jax.random.PRNGKey(seed)
+        vx = vx + noise * jax.random.normal(key, vx.shape)
+    return SurfaceVelocityData(t=tstops, vx=vx, vy=vy, vabs=v)

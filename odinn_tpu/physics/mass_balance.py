@@ -94,6 +94,21 @@ def mb_timestep(H, glacier, mb: TImodel1, t, step):
     """
     H_pos = jnp.where(H > 0.0, H, 0.0)
     S = glacier.B + H_pos
-    MB = compute_mb(mb, glacier.climate, S, t, step)
+    if hasattr(mb, "compute_mb_field"):
+        # MLP MB models (MassBalanceMachine CustomMLP equivalent)
+        MB = mb.compute_mb_field(glacier.climate, S, t, step)
+    else:
+        MB = compute_mb(mb, glacier.climate, S, t, step)
     H_new, _ = apply_mb_mask(H_pos, MB)
     return H_new
+
+
+def validate_model_simulation_compatibility(model, params) -> None:
+    """Muninn's validate_model_simulation_compatibility equivalent: an MB
+    model requires a monthly climate and use_MB; raise early otherwise."""
+    if params.simulation.use_MB and model.mass_balance is None:
+        raise ValueError("use_MB=True but the model has no mass-balance component")
+    if not params.simulation.use_MB and model.mass_balance is not None:
+        import warnings
+
+        warnings.warn("mass-balance model provided but use_MB=False; it will be ignored")
