@@ -275,5 +275,49 @@ def vjp_mb_dH(flavor, lam, H, glacier, mb_model, t, step):
     VJPs.jl:107-151)."""
     if isinstance(flavor, NoVJP):
         return jnp.zeros_like(lam)
+    if isinstance(flavor, DiscreteVJP):
+        return _vjp_mb_dH_discrete(lam, H, glacier, mb_model, t, step)
     _, pb = jax.vjp(lambda h: mb_timestep(h, glacier, mb_model, t, step), H)
     return pb(lam)[0] - lam
+
+
+def _vjp_mb_dH_discrete(lam, H, glacier, mb_model, t, step):
+    """Analytic TImodel1 MB pullback — the PDD-gradient mask algebra of
+    VJPs.jl:107-151 for our window-sum convention:
+
+        ∂melt/∂H = DDF · Σ_m w_m · days · ∇T_m · 1[T₂D_m > 0]
+        ∂MB_eff/∂H = −1 on ice-disappearance cells (MB clipped to −H),
+                     ∂MB/∂H on masked cells, 0 elsewhere.
+    """
+    from odinn_tpu.physics.mass_balance import _DAYS_PER_MONTH, apply_mb_mask, compute_mb
+
+    if hasattr(mb_model, "compute_mb_field"):
+        raise TypeError(
+            "the discrete MB VJP supports TImodel1 only (parity with "
+            "VJPs.jl:149); MLP MB models use the AutoVJP path"
+        )
+    H_pos = jnp.where(H > 0.0, H, 0.0)
+    S = glacier.B + H_pos
+    clim = glacier.climate
+    MB = compute_mb(mb_model, clim, S, t, step)
+
+    n_m = clim.temp.shape[-1]
+    months = jnp.arange(n_m)
+    t_m = clim.t_start + (months + 0.5) / 12.0
+    w = ((t_m > t - step) & (t_m <= t)).astype(S.dtype)
+    t2d = clim.temp[:, None, None] + clim.gradient[:, None, None] * (S[None] - clim.ref_hgt)
+    dmelt_dH = mb_model.DDF * jnp.sum(
+        w[:, None, None] * clim.gradient[:, None, None] * (t2d > 0.0) * _DAYS_PER_MONTH,
+        axis=0,
+    )
+    mask = ((H_pos > 0.0) & (MB < 0.0)) | ((H_pos > 10.0) & (MB >= 0.0))
+    pos = (H > 0.0).astype(lam.dtype)
+    dmb_raw = jnp.where(mask, -dmelt_dH, 0.0) * pos     # d(masked MB)/dH
+    t1 = jnp.where(mask, MB, 0.0)
+    t2 = -H_pos
+    # d(max(t1, t2))/dH with AD's 50/50 tie convention (ties occur at the
+    # structural H = 0 cells, where the exact increment derivative is −1;
+    # the reference's hand VJP returns 0 there, VJPs.jl:140-146 — we match AD)
+    dmax = jnp.where(t1 > t2, dmb_raw, jnp.where(t1 < t2, -pos, 0.5 * (dmb_raw - pos)))
+    d_increment = pos + dmax - 1.0                       # d(H_new − H)/dH
+    return lam * d_increment

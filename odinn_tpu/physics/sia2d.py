@@ -135,4 +135,4 @@ def v_from_h(H, B, dx, dy, values_fn, target, phys):
         return st.avg(jnp.pad(a, pad, mode="edge"))
 
     vx, vy = to_centers(vx_s), to_centers(vy_s)
-    return vx, vy, jnp.sqrt(vx**2 + vy**2)
+    return vx, vy, st.safe_norm(vx, vy)

@@ -29,6 +29,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from odinn_tpu.core.glacier import Glacier, stack_glaciers
@@ -125,14 +126,31 @@ def glacier_transient_loss(theta, glacier, glacier_idx, model, params, tstops):
     return total, traj
 
 
-def batch_transient_loss(theta, batch, model, params, tstops):
+def batch_transient_loss(theta, batch, model, params, tstops, glacier_ids=None):
     """Sum of transient losses over the stacked glacier batch (the reference's
-    pmap-then-sum, inversion_utils.jl:287-296, as one vmap + reduce)."""
-    idxs = jnp.arange(batch.H0.shape[0])
+    pmap-then-sum, inversion_utils.jl:287-296, as one vmap + reduce).
+
+    ``glacier_ids`` carries the original glacier indices when ``batch`` is a
+    gathered minibatch, so per-glacier θ entries resolve correctly.
+    """
+    idxs = glacier_ids if glacier_ids is not None else jnp.arange(batch.H0.shape[0])
     losses, _ = jax.vmap(
         lambda g, i: glacier_transient_loss(theta, g, i, model, params, tstops)
     )(batch, idxs)
     return jnp.sum(losses)
+
+
+def gather_batch(batch, idx):
+    """Select glaciers ``idx`` from a stacked batch (MLUtils.DataLoader
+    minibatching equivalent, ML_utils.jl:190-200) — a pytree gather along the
+    leading axis."""
+    n_g = batch.H0.shape[0]
+    return jax.tree.map(
+        lambda x: x[idx]
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n_g
+        else x,
+        batch,
+    )
 
 
 @dataclass
@@ -212,12 +230,39 @@ def train_ude(inversion: Inversion, callback: Optional[Callable] = None) -> Resu
     grad_cfg = params.UDE.grad
     grad_name = grad_cfg if isinstance(grad_cfg, str) else getattr(grad_cfg, "name", "jax")
 
+    n_glaciers = batch.H0.shape[0]
+    bsize = min(params.hyper.batch_size, n_glaciers)
+    minibatching = 0 < bsize < n_glaciers
+    rng = np.random.default_rng(0)
+
     for opt_name, lr, epochs in _stages(params.hyper):
         opt_name = opt_name.lower()
         if opt_name in ("adam", "adamw"):
             opt = optax.adam(lr) if opt_name == "adam" else optax.adamw(lr)
-            vg = jax.jit(_make_grad_fn(inversion, loss_fn)) if grad_name in ("jax", "sciml") else _make_grad_fn(inversion, loss_fn)
             state = opt.init(theta)
+
+            if minibatching and grad_name in ("jax", "sciml"):
+                # glacier minibatching (Hyperparameters.batch_size; the
+                # reference's DataLoader loop, ML_utils.jl:190-200)
+                @jax.jit
+                def step_mb(theta, state, ids):
+                    sub = gather_batch(batch, ids)
+                    val, grads = jax.value_and_grad(
+                        lambda th: batch_transient_loss(th, sub, model, params, tstops, ids)
+                    )(theta)
+                    updates, state = opt.update(grads, state, theta)
+                    return optax.apply_updates(theta, updates), state, val, grads
+
+                for it in range(epochs):
+                    t_start = time.time()
+                    ids = jnp.asarray(rng.choice(n_glaciers, size=bsize, replace=False))
+                    theta, state, val, grads = step_mb(theta, state, ids)
+                    _record(stats, float(val), theta, grads, time.time() - t_start)
+                    if callback is not None:
+                        callback(stats)
+                continue
+
+            vg = jax.jit(_make_grad_fn(inversion, loss_fn)) if grad_name in ("jax", "sciml") else _make_grad_fn(inversion, loss_fn)
 
             @jax.jit
             def step(theta, state):

@@ -40,7 +40,28 @@ __all__ = [
     "rk4_step",
     "ssprk3_step",
     "euler_step",
+    "suggest_substeps",
 ]
+
+
+def suggest_substeps(
+    dx, dy, h_max, a_max, n: float = 3.0, rho: float = 900.0, g: float = 9.81,
+    step: float = 1.0 / 12.0, slope_max: float = 0.3, safety: float = 2.0,
+) -> int:
+    """Substep count per save interval satisfying the explicit diffusion
+    stability limit dt ≤ dx²/(4·D_max) with D_max = Γ(a_max)·h_max^{n+2}·slope^{n−1}.
+
+    The reference sidesteps this with adaptive RK (SolverParameters.reltol);
+    the fixed-shape scan path needs the bound up front — size it for the
+    *largest* A the optimizer can reach (params.physical.max_A), not the
+    initial one.
+    """
+    import math
+
+    gamma = 2.0 * a_max * (rho * g) ** n / (n + 2.0)
+    d_max = gamma * float(h_max) ** (n + 2.0) * slope_max ** (n - 1.0)
+    dt_stab = min(float(dx), float(dy)) ** 2 / (4.0 * max(d_max, 1e-30))
+    return max(int(math.ceil(safety * step / dt_stab)), 1)
 
 
 def build_tstops(tspan, step, extra=None):
