@@ -69,7 +69,7 @@ def main():
         batch,
     )
 
-    model = Model(iceflow=SIA2DModel(A=CuffeyPaterson()), mass_balance=TImodel1())
+    model = Model(iceflow=SIA2DModel(A=CuffeyPaterson(), n_value=3.0), mass_balance=TImodel1())
     tstops = build_tstops(TSPAN, params.solver.step)
 
     fwd = jax.jit(lambda b: forward_batch(None, b, model, params, tstops))

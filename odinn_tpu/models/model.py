@@ -46,6 +46,13 @@ class SIA2DModel:
     U: Optional[Law] = None
     n_H: Optional[float] = None       # decoupled exponents (hybrid target)
     n_gradS: Optional[float] = None
+    # Static exponent overrides: when Glen's n (and sliding p, q) are the same
+    # constant for every glacier, setting these Python floats lets XLA
+    # strength-reduce the H̄ⁿ⁺²|∇S|ⁿ⁻¹ powers from powf (exp/log) to
+    # integer_pow multiplies — ~2x on the RHS hot path.
+    n_value: Optional[float] = None
+    p_value: Optional[float] = None
+    q_value: Optional[float] = None
 
     @property
     def laws(self):
@@ -117,6 +124,11 @@ def resolve_outer_values(
     ride the scan carry.
     """
     vals = default_values(glacier)
+    if model.iceflow.n_value is not None:
+        nv = float(model.iceflow.n_value)
+        pv = float(model.iceflow.p_value) if model.iceflow.p_value is not None else nv
+        qv = float(model.iceflow.q_value) if model.iceflow.q_value is not None else 0.0
+        vals = vals.replace(n=nv, p=pv, q=qv)
     for slot, law in model.iceflow.laws.items():
         if law.is_inner:
             continue

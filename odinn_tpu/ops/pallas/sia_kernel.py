@@ -77,18 +77,60 @@ def _rhs_math(H, B, dx, dy, A, C, n, p, q, rho, g, eta0):
     return jnp.pad(-div, ((1, 1), (1, 1)))
 
 
-def _kernel(scal_ref, h_ref, b_ref, out_ref, *, rho, g, eta0):
-    """Pallas program: one glacier, whole grid in VMEM."""
+def _pow_pos(x, e):
+    """xᵉ for x ≥ 0 via exp/log (Mosaic has no powf legalization for runtime
+    exponents); 0ᵉ := 0 (e > 0 throughout the SIA diffusivity)."""
+    pos = x > 0.0
+    return jnp.exp(e * jnp.log(jnp.where(pos, x, 1.0))) * pos
+
+
+def _kernel(scal_ref, h_ref, b_ref, out_ref, *, eta0):
+    """Pallas program: one glacier, whole grid in VMEM; the per-glacier SMEM
+    table carries *derived* scalars (prefactors + exponents) so the kernel
+    needs no scalar transcendentals:
+      [dx, dy, creep=A·Γ_noA, slide=C(ρg)^{p−q}, n+2, n−1, p−q+1, p−1]
+    """
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
     H = h_ref[0]
     B = b_ref[0]
-    dx = scal_ref[0, 0]
-    dy = scal_ref[0, 1]
-    A = scal_ref[0, 2]
-    C = scal_ref[0, 3]
-    n = scal_ref[0, 4]
-    p = scal_ref[0, 5]
-    q = scal_ref[0, 6]
-    out_ref[0] = _rhs_math(H, B, dx, dy, A, C, n, p, q, rho, g, eta0)
+    dx = scal_ref[i, 0]
+    dy = scal_ref[i, 1]
+    creep = scal_ref[i, 2]
+    slide = scal_ref[i, 3]
+    e_hc = scal_ref[i, 4]
+    e_sc = scal_ref[i, 5]
+    e_hs = scal_ref[i, 6]
+    e_ss = scal_ref[i, 7]
+
+    H = jnp.where(H > 0.0, H, 0.0)
+    S = B + H
+    dsdx = (S[1:, :] - S[:-1, :]) / dx
+    dsdy = (S[:, 1:] - S[:, :-1]) / dy
+    gsx = 0.5 * (dsdx[:, :-1] + dsdx[:, 1:])
+    gsy = 0.5 * (dsdy[:-1, :] + dsdy[1:, :])
+    sq = gsx * gsx + gsy * gsy
+    grad_s = jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0)) * (sq > 0.0)
+    hbar = 0.25 * (H[:-1, :-1] + H[1:, :-1] + H[:-1, 1:] + H[1:, 1:])
+
+    D = slide * _pow_pos(hbar, e_hs) * _pow_pos(grad_s, e_ss) + creep * _pow_pos(
+        hbar, e_hc
+    ) * _pow_pos(grad_s, e_sc)
+
+    dsdx_e = (S[1:, 1:-1] - S[:-1, 1:-1]) / dx
+    dsdy_e = (S[1:-1, 1:] - S[1:-1, :-1]) / dy
+    upx = eta0 * H[1:, 1:-1] / dx
+    lox = -eta0 * H[:-1, 1:-1] / dx
+    dsdx_e = jnp.where(dsdx_e > upx, upx, jnp.where(dsdx_e < lox, lox, dsdx_e))
+    upy = eta0 * H[1:-1, 1:] / dy
+    loy = -eta0 * H[1:-1, :-1] / dy
+    dsdy_e = jnp.where(dsdy_e > upy, upy, jnp.where(dsdy_e < loy, loy, dsdy_e))
+
+    Fx = -0.5 * (D[:, :-1] + D[:, 1:]) * dsdx_e
+    Fy = -0.5 * (D[:-1, :] + D[1:, :]) * dsdy_e
+    div = (Fx[1:, :] - Fx[:-1, :]) / dx + (Fy[:, 1:] - Fy[:, :-1]) / dy
+    out_ref[0] = jnp.pad(-div, ((1, 1), (1, 1)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -107,19 +149,35 @@ def _forward_impl(H, B, scalars, rho, g, eta0):
 
     n_g, nx, ny = H.shape
     interpret = jax.default_backend() not in ("tpu", "axon")
-    kern = functools.partial(_kernel, rho=rho, g=g, eta0=eta0)
+    # derive prefactors/exponents outside the kernel (scalar transcendentals
+    # are XLA prologue ops; Mosaic only sees vector exp/log)
+    dx, dy, A, C, n, p, q = (scalars[:, i] for i in range(7))
+    derived = jnp.stack(
+        [
+            dx,
+            dy,
+            A * 2.0 * (rho * g) ** n / (n + 2.0),
+            C * (rho * g) ** (p - q),
+            n + 2.0,
+            n - 1.0,
+            p - q + 1.0,
+            p - 1.0,
+        ],
+        axis=1,
+    ).astype(H.dtype)
+    kern = functools.partial(_kernel, eta0=eta0)
     return pl.pallas_call(
         kern,
         grid=(n_g,),
         in_specs=[
-            pl.BlockSpec((1, 7), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, nx, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nx, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, nx, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(H.shape, H.dtype),
         interpret=interpret,
-    )(scalars, H, B)
+    )(derived, H, B)
 
 
 def _fwd(H, B, scalars, rho, g, eta0):
