@@ -1,0 +1,205 @@
+"""Reference-compatible API facade.
+
+One import surface mirroring the names an ODINN.jl user knows
+(/root/reference/src/ODINN.jl re-exports + Huginn/Muninn/Sleipnir public API,
+SURVEY §2.8), mapped onto the TPU-native implementations:
+
+    from odinn_tpu.api import *
+
+    params  = Parameters(simulation=SimulationParameters(...), ...)
+    model   = Model(iceflow=SIA2Dmodel(params, A=LawA(nn, params)),
+                    mass_balance=TImodel1())
+    glaciers = initialize_glaciers(rgi_ids, params)
+    sim = Inversion(model=model, glaciers=glaciers, parameters=params)
+    run(sim)
+
+Naming notes: Julia's ``run!`` is :func:`run` (dispatches on
+Prediction/Inversion); ``SciMLSensitivityAdjoint`` is :class:`JaxAdjoint`
+(reverse-mode AD through the solve is native here); ``EnzymeVJP`` is
+:class:`AutoVJP`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+# parameters -----------------------------------------------------------------
+from odinn_tpu.core.params import (
+    Hyperparameters,
+    InversionParameters,
+    Parameters,
+    PhysicalParameters,
+    SimulationParameters,
+    SolverParameters,
+    UDEParameters,
+)
+
+UDEparameters = UDEParameters  # reference spelling
+
+# data -----------------------------------------------------------------------
+from odinn_tpu.core.glacier import (
+    Climate2D,
+    DhdtData,
+    DummyClimate2D,
+    Glacier,
+    SurfaceVelocityData,
+    ThicknessData,
+    is_in_glacier,
+    stack_glaciers,
+)
+
+Glacier2D = Glacier  # reference spelling
+dhdtData = DhdtData
+
+from odinn_tpu.data.halfar import Halfar, HalfarParameters, halfar_solution, halfar_velocity
+from odinn_tpu.data.rgi import (
+    fake_multi_datacube,
+    get_rgi_paths,
+    initialize_glaciers,
+)
+from odinn_tpu.data.synthetic import halfar_glacier, monthly_dummy_climate
+
+# physics / models -----------------------------------------------------------
+from odinn_tpu.models.model import Model, SIA2DModel, init_theta
+from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+from odinn_tpu.models.nn_utils import pretraining
+from odinn_tpu.models.initial_condition import InitialCondition
+from odinn_tpu.models.mb_machine import CustomMLP, load_model, save_model
+from odinn_tpu.physics.mass_balance import TImodel1, validate_model_simulation_compatibility
+from odinn_tpu.physics.sia2d import sia2d_rhs, surface_velocity, v_from_h
+from odinn_tpu.physics.targets import ATarget, DHybridTarget, DPureTarget
+
+
+def SIA2Dmodel(params=None, A=None, C=None, n=None, Y=None, U=None,
+               n_H=None, n_gradS=None, n_value=None, p_value=None, q_value=None):
+    """Huginn.SIA2Dmodel-style constructor (slot keywords; the ``params``
+    positional is accepted for signature parity and unused, as in the
+    reference where it only threads defaults)."""
+    return SIA2DModel(A=A, C=C, n=n, Y=Y, U=U, n_H=n_H, n_gradS=n_gradS,
+                      n_value=n_value, p_value=p_value, q_value=q_value)
+
+
+# laws -----------------------------------------------------------------------
+from odinn_tpu.laws.laws import (
+    ConstantA,
+    CuffeyPaterson,
+    Law,
+    LawA,
+    LawA_inversion,
+    LawU,
+    LawY,
+    SyntheticC,
+    eval_law,
+    poly_A_paterson_cuffey,
+)
+
+polyA_PatersonCuffey = poly_A_paterson_cuffey
+
+from odinn_tpu.laws.inputs import (
+    AvgGriddedTemp,
+    AvgScalarTemp,
+    CPDD,
+    GradSInput,
+    HbarInput,
+    TopoRough,
+)
+
+iAvgScalarTemp = AvgScalarTemp
+iAvgGriddedTemp = AvgGriddedTemp
+iCPDD = CPDD
+iHbar = HbarInput
+iGradS = GradSInput
+iTopoRough = TopoRough
+
+# losses ----------------------------------------------------------------------
+from odinn_tpu.losses.losses import L2Sum, LogSum, LossH, LossHV, LossV, MultiLoss
+from odinn_tpu.losses.regularization import (
+    DiffusivityRegularization,
+    InitialThicknessRegularization,
+    RheologyRegularization,
+    TikhonovRegularization,
+    VelocityRegularization,
+)
+from odinn_tpu.losses.time_aggregated import LossAvgV, LossDhdt
+
+# inverse ----------------------------------------------------------------------
+from odinn_tpu.inverse.adjoint_types import (
+    AutoVJP,
+    ContinuousAdjoint,
+    ContinuousVJP,
+    DiscreteAdjoint,
+    DiscreteVJP,
+    DummyAdjoint,
+    JaxAdjoint,
+    NoVJP,
+)
+
+SciMLSensitivityAdjoint = JaxAdjoint
+EnzymeVJP = AutoVJP
+
+# simulation -------------------------------------------------------------------
+from odinn_tpu.simulation.inversion import Inversion, run_inversion, train_ude
+from odinn_tpu.simulation.prediction import Prediction, generate_ground_truth, run_prediction
+from odinn_tpu.simulation.results import Results, TrainingStats
+from odinn_tpu.simulation.solver import build_tstops, suggest_substeps
+
+train_UDE = train_ude
+
+
+def run(simulation, **kwargs):
+    """``run!`` equivalent: dispatch on the simulation type."""
+    if isinstance(simulation, Prediction):
+        return run_prediction(simulation, **kwargs)
+    if isinstance(simulation, Inversion):
+        return run_inversion(simulation, **kwargs)
+    raise TypeError(f"cannot run {type(simulation).__name__}")
+
+
+# utils --------------------------------------------------------------------------
+from odinn_tpu.utils.io import (
+    TrainingResult,
+    load_inversion_file,
+    restore_checkpoint,
+    save_checkpoint,
+    save_inversion_file,
+    save_results_file,
+)
+from odinn_tpu.utils.logging import TrainingLogger
+from odinn_tpu.utils.plotting import (
+    plot_cumulative_mb,
+    plot_glacier,
+    plot_glacier_vid,
+    plot_gridded_data,
+    plot_law,
+)
+from odinn_tpu.utils.time_utils import (
+    datetime_to_floatyear,
+    floatyear_to_datetime,
+    ind_from_t,
+    stop_condition_tstops,
+)
+
+indFromT = ind_from_t
+
+# parallel -----------------------------------------------------------------------
+from odinn_tpu.parallel.mesh import make_mesh, pad_batch_to, replicate, shard_glacier_axis
+from odinn_tpu.simulation.region_inversion import region_split_inversion
+
+
+def enable_multiprocessing(params=None, workers: Optional[int] = None):
+    """Compat shim for the reference's Distributed.jl bootstrap
+    (/root/reference/src/setup/config.jl:97-139): scale-out here is mesh
+    sharding, not worker processes. Returns the device mesh to shard over."""
+    import warnings
+
+    import jax as _jax
+
+    n = workers or (params.simulation.workers if params is not None else None)
+    n_dev = len(_jax.devices())
+    if n is not None and n > n_dev:
+        warnings.warn(
+            f"requested {n} workers but only {n_dev} devices are visible; "
+            "sharding over the available mesh"
+        )
+        n = n_dev
+    return make_mesh(n)

@@ -78,6 +78,8 @@ def _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
     npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
     dts = jnp.diff(tstops)
 
+    from odinn_tpu.losses.losses import LossH as _LH, LossV as _LV
+
     def loss_at(H, th, tau):
         outer = resolve_outer_values(model, th, glacier, glacier_idx, tstops[0])
         vfn = make_values_fn(model, th, glacier, glacier_idx, tstops[0], outer)
@@ -85,11 +87,24 @@ def _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
         def velocity_fn(h, t):
             return v_from_h(h, glacier.B, glacier.dx, glacier.dy, vfn, model.target, params.physical)
 
+        t = tstops[tau]
+        h_ref, h_valid = None, 1.0
+        if td is not None:
+            k = jnp.argmin(jnp.abs(td.t - t))
+            h_ref = td.H[k]
+            h_valid = (jnp.abs(td.t[k] - t) < 1e-6).astype(H.dtype)
+        v_ref = vx_ref = vy_ref = None
+        v_valid = 1.0
+        if vd is not None and vd.vabs is not None and vd.vabs.ndim == 3:
+            kv = jnp.argmin(jnp.abs(vd.t - t))
+            v_ref, vx_ref, vy_ref = vd.vabs[kv], vd.vx[kv], vd.vy[kv]
+            v_valid = (jnp.abs(vd.t[kv] - t) < 1e-6).astype(H.dtype)
+
         ctx = LossContext(
-            H_ref=None if td is None else td.H[tau],
-            V_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vabs[tau],
-            Vx_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vx[tau],
-            Vy_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vy[tau],
+            H_ref=h_ref,
+            V_ref=v_ref,
+            Vx_ref=vx_ref,
+            Vy_ref=vy_ref,
             velocity_fn=velocity_fn,
             normalization=jnp.asarray(float(npix)),
             theta=th,
@@ -100,7 +115,13 @@ def _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
         )
         acc = jnp.asarray(0.0, H.dtype)
         for w, term in transient:
-            acc = acc + w * term(ctx, H, tstops[tau])
+            if isinstance(term, _LH):
+                valid = h_valid
+            elif isinstance(term, _LV):
+                valid = v_valid
+            else:
+                valid = h_valid * v_valid
+            acc = acc + w * valid * term(ctx, H, t)
         return acc * dts[tau - 1]
 
     return loss_at
@@ -378,7 +399,9 @@ def make_adjoint_value_and_grad(inversion, flavor: str = "continuous") -> Callab
     params = inversion.parameters
     model = inversion.model
     batch = inversion.glaciers
-    tstops = build_tstops(params.simulation.tspan, params.solver.step)
+    from odinn_tpu.simulation.inversion import assemble_tstops
+
+    tstops = assemble_tstops(params, batch)
 
     grad_cfg = params.UDE.grad
     if isinstance(grad_cfg, (DiscreteAdjoint, ContinuousAdjoint)):

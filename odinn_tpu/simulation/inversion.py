@@ -47,6 +47,32 @@ def _default_loss():
     return MultiLoss(terms=(LossH(),), weights=(1.0,))
 
 
+def assemble_tstops(params, batch):
+    """Union of the solver save grid with every observation timestamp
+    (the reference's tstop assembly: solver step ∪ user tstops ∪ data
+    timestamps ∪ discrete/aggregated loss steps, inversion_utils.jl:487-495
+    + discretePostIntegralLossSteps).
+
+    Observations that fall between solver saves get exact save points, so
+    transient losses never interpolate. Static (numpy) — runs at setup time.
+    """
+    extra = []
+    if params.solver.tstops is not None:
+        extra.extend(np.asarray(params.solver.tstops, float).ravel().tolist())
+    td = batch.thickness_data
+    if td is not None and td.t is not None:
+        extra.extend(np.unique(np.asarray(td.t, float)).tolist())
+    vd = batch.velocity_data
+    if vd is not None and vd.t is not None:
+        extra.extend(np.unique(np.asarray(vd.t, float)).tolist())
+    dd = batch.dhdt_data
+    if dd is not None:
+        extra.extend(np.unique(np.asarray(dd.t1, float)).tolist())
+        extra.extend(np.unique(np.asarray(dd.t2, float)).tolist())
+    return build_tstops(params.simulation.tspan, params.solver.step,
+                        extra=extra if extra else None)
+
+
 def glacier_transient_loss(theta, glacier, glacier_idx, model, params, tstops):
     """Transient loss for one glacier: Σ_τ Δt_τ · ℓ(H(t_τ), refs(t_τ)).
 
@@ -93,15 +119,35 @@ def glacier_transient_loss(theta, glacier, glacier_idx, model, params, tstops):
     if transient:
 
         def step_loss(tau):
-            ctx = make_ctx(
-                H_ref=None if td is None else td.H[tau],
-                V_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vabs[tau],
-                Vx_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vx[tau],
-                Vy_ref=None if vd is None or vd.vabs.ndim != 3 else vd.vy[tau],
-            )
+            """Loss at save index τ; observations are matched by *time* (the
+            reference's per-tstop data lookup with isnothing(H_ref) skips,
+            Losses.jl:262-267), so tstops may be a superset of the data grid."""
+            t = tstops[tau]
+            h_ref, h_valid = (None, 1.0)
+            if td is not None:
+                k = jnp.argmin(jnp.abs(td.t - t))
+                h_ref = td.H[k]
+                h_valid = (jnp.abs(td.t[k] - t) < 1e-6).astype(traj.dtype)
+            v_ref = vx_ref = vy_ref = None
+            v_valid = 1.0
+            if vd is not None and vd.vabs is not None and vd.vabs.ndim == 3:
+                kv = jnp.argmin(jnp.abs(vd.t - t))
+                v_ref, vx_ref, vy_ref = vd.vabs[kv], vd.vx[kv], vd.vy[kv]
+                v_valid = (jnp.abs(vd.t[kv] - t) < 1e-6).astype(traj.dtype)
+            ctx = make_ctx(H_ref=h_ref, V_ref=v_ref, Vx_ref=vx_ref, Vy_ref=vy_ref)
             acc = jnp.asarray(0.0, traj.dtype)
+            from odinn_tpu.losses.losses import LossH as _LH, LossV as _LV
+
             for w, term in transient:
-                acc = acc + w * term(ctx, traj[tau], tstops[tau])
+                # validity gates: thickness terms need a matching H obs at
+                # this tstop, velocity terms a matching V obs; others both
+                if isinstance(term, _LH):
+                    valid = h_valid
+                elif isinstance(term, _LV):
+                    valid = v_valid
+                else:
+                    valid = h_valid * v_valid
+                acc = acc + w * valid * term(ctx, traj[tau], t)
             return acc
 
         taus = jnp.arange(1, tstops.shape[0])
@@ -210,22 +256,29 @@ def _make_grad_fn(inversion: Inversion, loss_fn):
     raise ValueError(f"unknown adjoint method {name!r}")
 
 
-def train_ude(inversion: Inversion, callback: Optional[Callable] = None) -> Results:
+def train_ude(
+    inversion: Inversion,
+    callback: Optional[Callable] = None,
+    record_theta_hist: bool = False,
+) -> Results:
     """Staged training loop (``train_UDE!`` equivalent).
 
     Adam stages use plain optax; LBFGS uses optax.lbfgs with zoom linesearch
     (the reference's Optimization.jl BFGS/LBFGS with backtracking,
     inversion_utils.jl:112-238). θ warm-starts across stages.
+    ``record_theta_hist`` keeps θ per iteration (TrainingStats.θ_hist,
+    Results.jl:19-68) — off by default to bound host memory.
     """
     params = inversion.parameters
-    tstops = build_tstops(params.simulation.tspan, params.solver.step)
     model = inversion.model
     batch = inversion.glaciers
+    tstops = assemble_tstops(params, batch)
 
     def loss_fn(theta):
         return batch_transient_loss(theta, batch, model, params, tstops)
 
     stats = TrainingStats()
+    stats._record_theta_hist = record_theta_hist
     theta = inversion.theta
     grad_cfg = params.UDE.grad
     grad_name = grad_cfg if isinstance(grad_cfg, str) else getattr(grad_cfg, "name", "jax")
@@ -307,7 +360,16 @@ def train_ude(inversion: Inversion, callback: Optional[Callable] = None) -> Resu
     if model.initial_condition is not None and "IC" in theta:
         stats.initial_conditions = theta["IC"]
     inversion.theta = theta
-    inversion.results = Results(stats=stats)
+
+    # final forward with trained θ stored as simulation results
+    # (reference `create_results` after training, inversion_utils.jl:255-267)
+    from odinn_tpu.simulation.prediction import forward_batch
+    from odinn_tpu.simulation.results import create_results
+
+    trajs = jax.jit(lambda th, b: forward_batch(th, b, model, params, tstops))(theta, batch)
+    inversion.results = Results(
+        simulation=create_results(trajs, tstops, glaciers=batch), stats=stats
+    )
     return inversion.results
 
 
@@ -315,6 +377,8 @@ def _record(stats: TrainingStats, val, theta, grads, dt):
     stats.losses.append(val)
     stats.niter += 1
     stats.theta = theta
+    if getattr(stats, "_record_theta_hist", False):
+        stats.theta_hist.append(jax.tree.map(lambda x: np.asarray(x), theta))
     gnorm = float(
         jnp.sqrt(
             sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))

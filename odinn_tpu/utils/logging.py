@@ -14,7 +14,19 @@ import os
 import time
 from typing import Any, Optional
 
-__all__ = ["TrainingLogger", "print_progress_loss"]
+__all__ = ["TrainingLogger", "print_progress_loss", "combine_callbacks"]
+
+
+def combine_callbacks(*callbacks):
+    """Run several training callbacks in sequence
+    (CallbackOptimizationSet equivalent, callback_utils.jl:139-150)."""
+    cbs = [c for c in callbacks if c is not None]
+
+    def combined(stats):
+        for c in cbs:
+            c(stats)
+
+    return combined
 
 
 def print_progress_loss(it: int, total: int, loss: float, prev: Optional[float]) -> None:
@@ -35,12 +47,18 @@ class TrainingLogger:
 
     def __init__(self, logdir: Optional[str] = None, use_tensorboard: bool = True,
                  print_every: int = 1, total_iters: Optional[int] = None,
-                 save_every: Optional[int] = None, save_path: Optional[str] = None):
+                 save_every: Optional[int] = None, save_path: Optional[str] = None,
+                 plot_law_every: Optional[int] = None, plot_law_cfg: Optional[dict] = None):
         self.logdir = logdir or os.path.join(".log", time.strftime("%Y%m%d-%H%M%S"))
         self.print_every = print_every
         self.total_iters = total_iters
         self.save_every = save_every
         self.save_path = save_path
+        # per-epoch learned-law plots (callback_plots_A equivalent,
+        # /root/reference/src/simulations/inversions/callback_utils.jl:6-52);
+        # plot_law_cfg = dict(law=, glacier=, input_ranges=, truth_fn=)
+        self.plot_law_every = plot_law_every
+        self.plot_law_cfg = plot_law_cfg or {}
         self._tb = None
         if use_tensorboard:
             try:
@@ -68,6 +86,13 @@ class TrainingLogger:
             self._tb.add_scalar("train/loss", loss, it)
             self._tb.add_scalar("train/norm_grad", gnorm, it)
             self._tb.add_scalar("train/time_per_iter", dt, it)
+        if self.plot_law_every and it % self.plot_law_every == 0 and self.plot_law_cfg:
+            from odinn_tpu.utils.plotting import plot_law, save_plot
+
+            cfg = self.plot_law_cfg
+            fig = plot_law(cfg["law"], stats.theta, cfg["glacier"],
+                           cfg["input_ranges"], truth_fn=cfg.get("truth_fn"))
+            save_plot(fig, os.path.join(self.logdir, f"law_epoch_{it:05d}.png"))
         if self.save_every and self.save_path and it % self.save_every == 0:
             from odinn_tpu.utils.io import TrainingResult, save_inversion_file
 

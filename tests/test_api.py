@@ -1,0 +1,85 @@
+"""API facade + legacy region-split inversion tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_api_surface_importable():
+    """Every reference-familiar name resolves through odinn_tpu.api."""
+    from odinn_tpu import api
+
+    for name in [
+        "Parameters", "PhysicalParameters", "SimulationParameters",
+        "SolverParameters", "Hyperparameters", "UDEparameters",
+        "InversionParameters", "Glacier2D", "Climate2D", "DummyClimate2D",
+        "ThicknessData", "SurfaceVelocityData", "dhdtData", "is_in_glacier",
+        "Halfar", "HalfarParameters", "halfar_solution",
+        "initialize_glaciers", "get_rgi_paths", "fake_multi_datacube",
+        "Model", "SIA2Dmodel", "NeuralNetwork", "InitialCondition",
+        "TImodel1", "CustomMLP", "LawA", "LawY", "LawU", "ConstantA",
+        "CuffeyPaterson", "SyntheticC", "polyA_PatersonCuffey", "eval_law",
+        "iAvgScalarTemp", "iCPDD", "iTopoRough",
+        "L2Sum", "LogSum", "LossH", "LossV", "LossHV", "MultiLoss",
+        "TikhonovRegularization", "InitialThicknessRegularization",
+        "VelocityRegularization", "RheologyRegularization",
+        "LossDhdt", "LossAvgV",
+        "DiscreteAdjoint", "ContinuousAdjoint", "DummyAdjoint",
+        "SciMLSensitivityAdjoint", "EnzymeVJP", "DiscreteVJP",
+        "ContinuousVJP", "NoVJP",
+        "Prediction", "Inversion", "run", "generate_ground_truth",
+        "train_UDE", "TrainingStats", "Results",
+        "save_inversion_file", "load_inversion_file", "TrainingLogger",
+        "plot_glacier", "plot_law", "datetime_to_floatyear", "indFromT",
+        "make_mesh", "suggest_substeps",
+    ]:
+        assert hasattr(api, name), f"api missing {name}"
+
+
+def test_run_dispatch():
+    from odinn_tpu import api
+
+    params = api.Parameters(
+        simulation=api.SimulationParameters(tspan=(5.0, 5.25), use_MB=False,
+                                            use_velocities=False),
+        solver=api.SolverParameters(step=1 / 12, substeps=5),
+    )
+    g = api.halfar_glacier(nx=24, ny=24, dx=150.0, temp=-15.0)
+    model = api.Model(iceflow=api.SIA2Dmodel(params, A=api.ConstantA(5e-18)))
+    pred = api.Prediction(model=model, glaciers=[g], parameters=params)
+    results = api.run(pred)
+    assert results["H"].shape[0] == 1
+    with pytest.raises(TypeError):
+        api.run(object())
+
+
+def test_region_split_inversion():
+    """Legacy region-split inversion recovers a uniform A within bounds
+    (InversionParameters semantics, InversionParameters.jl:18-70)."""
+    from odinn_tpu import api
+    from odinn_tpu.simulation.region_inversion import region_map, region_split_inversion
+
+    A_TRUE = 5e-18
+    params = api.Parameters(
+        physical=api.PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=api.SimulationParameters(tspan=(5.0, 5.5), use_MB=False,
+                                            use_velocities=False),
+        solver=api.SolverParameters(step=1 / 12, substeps=10),
+        inversion=api.InversionParameters(
+            lower_bound=(1e-19,), upper_bound=(8e-18,), regions_split=(2, 2),
+            x_tol=1e-10, f_tol=1e-14,
+        ),
+    )
+    g = api.halfar_glacier(nx=32, ny=32, dx=130.0, temp=-15.0, A=A_TRUE)
+    tstops = api.build_tstops(params.simulation.tspan, params.solver.step)
+    truth = api.Model(iceflow=api.SIA2Dmodel(params, A=api.ConstantA(A_TRUE)))
+    (g,) = api.generate_ground_truth([g], params, truth, tstops, store=("H",))
+
+    rmap = region_map(32, 32, (2, 2))
+    assert rmap.shape == (31, 31) and rmap.max() == 3
+
+    out = region_split_inversion(g, params, tstops=tstops, max_iters=30)
+    assert out["losses"][-1] < 0.05 * out["losses"][0]
+    # central regions see the dome; their A should approach the truth
+    rel = np.abs(out["A_regions"] - A_TRUE) / A_TRUE
+    assert rel.min() < 0.2, f"A_regions {out['A_regions']}"
