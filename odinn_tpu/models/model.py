@@ -53,6 +53,19 @@ class SIA2DModel:
     n_value: Optional[float] = None
     p_value: Optional[float] = None
     q_value: Optional[float] = None
+    # Optional smooth diffusivity cap max_D·tanh(D/max_D) (the reference's
+    # cap_D, target_utils.jl; flagged TODO at target_D_hybrid.jl:20-22).
+    # Differentiable guard against CFL blow-up while the optimizer explores
+    # large creep values.
+    max_D: Optional[float] = None
+
+    @property
+    def periodic_laws(self):
+        """Laws re-evaluated every callback_freq years at save boundaries."""
+        return {
+            s: l for s, l in self.laws.items()
+            if l.callback_freq is not None and l.callback_freq > 0
+        }
 
     @property
     def laws(self):
@@ -88,6 +101,8 @@ class Model:
                 tgt = targets_mod.DHybridTarget()
             else:
                 tgt = targets_mod.ATarget()
+            if self.iceflow.max_D is not None:
+                tgt = targets_mod.CappedTarget(tgt, float(self.iceflow.max_D))
             object.__setattr__(self, "target", tgt)
         # slot/input validation (Model.jl:81-123): inner laws may only consume
         # catalogue inputs; U law must not coexist with Y law.

@@ -26,6 +26,7 @@ A-target diffusivity (target_A.jl:17-31):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -169,6 +170,28 @@ class DPureTarget:
         (target_D_pure.jl Velocityꜛ: ∂Velocityꜛ∂θ = ∂U∂θ / f)."""
         f = getattr(phys, "f_surface_velocity_factor", 1.0)
         return vals.U / f
+
+
+@dataclass(frozen=True)
+class CappedTarget:
+    """Wrap a target with the smooth diffusivity cap D ← max_D·tanh(D/max_D)
+    (the reference's cap_D, target_utils.jl; applied when
+    SIA2DModel.max_D is set). Closed-form partials are intentionally not
+    exposed — the adjoint layer falls back to exact AD pullbacks through the
+    capped expression."""
+
+    inner: Any
+    max_D: float
+
+    @property
+    def name(self) -> str:
+        return self.inner.name
+
+    def diffusivity(self, vals, hbar, grad_s, phys):
+        return cap_D(self.inner.diffusivity(vals, hbar, grad_s, phys), self.max_D)
+
+    def velocity_up(self, vals, hbar, grad_s, phys):
+        return self.inner.velocity_up(vals, hbar, grad_s, phys)
 
 
 def get_target(name: str):

@@ -80,14 +80,64 @@ def forward_glacier(
 
             return jax.lax.cond((i + 1) % k == 0, apply, lambda H: H, H)
 
-    return integrate_scan(
-        rhs,
-        H0,
-        tstops,
-        params.solver.substeps,
-        method=params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler") else "RK4",
-        callback=callback,
-    )
+    periodic = model.iceflow.periodic_laws
+    method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler") else "RK4"
+    if not periodic:
+        return integrate_scan(
+            rhs, H0, tstops, params.solver.substeps, method=method, callback=callback
+        )
+
+    # Periodic laws (callback_freq > 0, docs/src/inversions.md:140-156): their
+    # values ride the scan carry and are re-evaluated at save boundaries on
+    # each law's own cadence — the reference's PeriodicCallback law updates.
+    from odinn_tpu.simulation.solver import _STEPPERS
+
+    step_fn = _STEPPERS[method]
+    substeps = params.solver.substeps
+    cadences = {
+        slot: max(int(round(law.callback_freq / params.solver.step)), 1)
+        for slot, law in periodic.items()
+    }
+
+    def refresh_law(vals, slot, law, H, t):
+        inputs = {"glacier_idx": glacier_idx}
+        for spec in law.inputs:
+            inputs[spec.name] = spec.get(glacier, H, t)
+        return vals.replace(**{slot: law.apply(theta, inputs)})
+
+    def interval(carry, xs):
+        H, vals = carry
+        t0i, t1i, i = xs
+        vfn_i = make_values_fn(model, theta, glacier, glacier_idx, t0i, vals)
+
+        def rhs_i(Hc, t):
+            if not params.simulation.use_iceflow:
+                return jnp.zeros_like(Hc)
+            return sia2d_rhs(Hc, glacier.B, glacier.dx, glacier.dy, vfn_i, target, phys)
+
+        dt = (t1i - t0i) / substeps
+
+        def sub(Hc, k):
+            return step_fn(rhs_i, Hc, t0i + k * dt, dt), None
+
+        H, _ = jax.lax.scan(sub, H, jnp.arange(substeps))
+        if callback is not None:
+            H = callback(H, t0i, t1i, i)
+        for slot, law in periodic.items():
+            k = cadences[slot]
+            vals = jax.lax.cond(
+                (i + 1) % k == 0,
+                lambda v, s=slot, l=law: refresh_law(v, s, l, H, t1i),
+                lambda v: v,
+                vals,
+            )
+        return (H, vals), H
+
+    t0s, t1s = tstops[:-1], tstops[1:]
+    idxs = jnp.arange(t0s.shape[0])
+    body = jax.checkpoint(interval)
+    (_, _), traj = jax.lax.scan(body, (H0, outer_vals), (t0s, t1s, idxs))
+    return jnp.concatenate([H0[None], traj], axis=0)
 
 
 def forward_batch(theta, batch: Glacier, model: Model, params, tstops):
