@@ -58,18 +58,29 @@ def downscale_2d_climate(climate, S):
 def compute_mb(mb: TImodel1, climate, S, t, step):
     """Mass balance accumulated over the window (t−step, t], per cell [m ice].
 
-    Muninn ``compute_MB`` + ``get_cumulative_climate!`` equivalent: the
-    cumulative-climate gather is a masked sum over the static monthly series.
+    Muninn ``compute_MB`` + ``get_cumulative_climate!`` equivalent. The
+    window gather is a static-size ``dynamic_slice`` of the monthly series
+    (window length is known from ``step``), so each MB application touches
+    only its own months instead of masking the whole series — the MB callback
+    cost is O(window), not O(simulation length).
     """
-    n_m = climate.temp.shape[-1]
-    months = jnp.arange(n_m)
-    t_m = climate.t_start + (months + 0.5) / 12.0
-    in_window = ((t_m > t - step) & (t_m <= t)).astype(S.dtype)
+    import jax.lax as lax
 
-    t2d = downscale_2d_climate(climate, S)
+    n_m = climate.temp.shape[-1]
+    n_win = max(int(round(float(step) * 12.0)), 1)
+    # months m with t_start + (m+0.5)/12 ∈ (t−step, t] start at
+    # m0 = round((t−step−t_start)·12)
+    m0 = jnp.round((t - step - climate.t_start) * 12.0).astype(jnp.int32)
+    m0 = jnp.clip(m0, 0, n_m - n_win)
+
+    temp_w = lax.dynamic_slice(climate.temp, (m0,), (n_win,))
+    grad_w = lax.dynamic_slice(climate.gradient, (m0,), (n_win,))
+    snow_w = lax.dynamic_slice(climate.snow, (m0,), (n_win,))
+
+    t2d = temp_w[:, None, None] + grad_w[:, None, None] * (S[None] - climate.ref_hgt)
     pdd = jnp.maximum(t2d, 0.0) * _DAYS_PER_MONTH          # degree-days per month
-    melt = mb.DDF * jnp.sum(in_window[:, None, None] * pdd, axis=0)
-    acc = mb.acc_factor * jnp.sum(in_window * climate.snow)
+    melt = mb.DDF * jnp.sum(pdd, axis=0)
+    acc = mb.acc_factor * jnp.sum(snow_w)
     return acc - melt
 
 

@@ -81,18 +81,19 @@ def forward_glacier(
             return jax.lax.cond((i + 1) % k == 0, apply, lambda H: H, H)
 
     periodic = model.iceflow.periodic_laws
-    method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler") else "RK4"
+    method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler", "RKC") else "RK4"
     if not periodic:
         return integrate_scan(
-            rhs, H0, tstops, params.solver.substeps, method=method, callback=callback
+            rhs, H0, tstops, params.solver.substeps, method=method, callback=callback,
+            rkc_stages=params.solver.rkc_stages,
         )
 
     # Periodic laws (callback_freq > 0, docs/src/inversions.md:140-156): their
     # values ride the scan carry and are re-evaluated at save boundaries on
     # each law's own cadence — the reference's PeriodicCallback law updates.
-    from odinn_tpu.simulation.solver import _STEPPERS
+    from odinn_tpu.simulation.solver import get_stepper
 
-    step_fn = _STEPPERS[method]
+    step_fn = get_stepper(method, params.solver.rkc_stages)
     substeps = params.solver.substeps
     cadences = {
         slot: max(int(round(law.callback_freq / params.solver.step)), 1)

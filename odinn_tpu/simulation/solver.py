@@ -102,7 +102,109 @@ def ssprk3_step(f, y, t, dt):
     return y / 3.0 + (2.0 / 3.0) * (y2 + dt * f(y2, t + 0.5 * dt))
 
 
+def _rkc2_coeffs(s: int, eps: float = 2.0 / 13.0):
+    """Damped second-order Runge–Kutta–Chebyshev coefficients
+    (van der Houwen & Sommeijer / Verwer RKC2).
+
+    Real-axis stability interval ≈ 0.65·s² — the stabilized-explicit family
+    the reference's default RDPK3Sp35 solver belongs to, extended so one
+    s-stage step covers a whole save interval of stiff SIA diffusion.
+    Static numpy; returns per-stage arrays for a lax.scan over stages.
+    """
+    import numpy as np
+
+    w0 = 1.0 + eps / s**2
+
+    # Chebyshev T_j(w0), T'_j(w0), T''_j(w0) by recurrence
+    T = np.zeros(s + 1)
+    dT = np.zeros(s + 1)
+    d2T = np.zeros(s + 1)
+    T[0], dT[0], d2T[0] = 1.0, 0.0, 0.0
+    T[1], dT[1], d2T[1] = w0, 1.0, 0.0
+    for j in range(2, s + 1):
+        T[j] = 2.0 * w0 * T[j - 1] - T[j - 2]
+        dT[j] = 2.0 * T[j - 1] + 2.0 * w0 * dT[j - 1] - dT[j - 2]
+        d2T[j] = 4.0 * dT[j - 1] + 2.0 * w0 * d2T[j - 1] - d2T[j - 2]
+
+    w1 = dT[s] / d2T[s]
+    b = np.zeros(s + 1)
+    for j in range(2, s + 1):
+        b[j] = d2T[j] / dT[j] ** 2
+    b[0] = b[2]
+    b[1] = 1.0 / w0
+    a = 1.0 - b[: s + 1] * T[: s + 1]
+
+    mu1_t = b[1] * w1
+    mu = np.zeros(s + 1)
+    nu = np.zeros(s + 1)
+    mu_t = np.zeros(s + 1)
+    gam_t = np.zeros(s + 1)
+    c = np.zeros(s + 1)
+    c[1] = mu1_t  # ≈ c1
+    for j in range(2, s + 1):
+        mu[j] = 2.0 * b[j] * w0 / b[j - 1]
+        nu[j] = -b[j] / b[j - 2]
+        mu_t[j] = mu[j] * w1 / w0
+        gam_t[j] = -a[j - 1] * mu_t[j]
+        c[j] = (dT[s] / d2T[s]) * (d2T[j] / dT[j]) if j < s else 1.0
+    return w0, w1, mu1_t, mu, nu, mu_t, gam_t, c
+
+
+def make_rkc2_step(s: int):
+    """Build an s-stage RKC2 stepper ``step(f, y, t, dt)`` (differentiable;
+    stages run in a lax.scan with static coefficients)."""
+    import numpy as np
+
+    w0, w1, mu1_t, mu, nu, mu_t, gam_t, c = _rkc2_coeffs(s)
+    mu = jnp.asarray(mu)
+    nu = jnp.asarray(nu)
+    mu_t = jnp.asarray(mu_t)
+    gam_t = jnp.asarray(gam_t)
+    c = jnp.asarray(c)
+
+    def step(f, y, t, dt):
+        f0 = f(y, t)
+        y1 = y + mu1_t * dt * f0
+
+        def stage(carry, j):
+            y_jm1, y_jm2 = carry
+            f_j = f(y_jm1, t + c[j - 1] * dt)
+            y_j = (
+                (1.0 - mu[j] - nu[j]) * y
+                + mu[j] * y_jm1
+                + nu[j] * y_jm2
+                + mu_t[j] * dt * f_j
+                + gam_t[j] * dt * f0
+            )
+            return (y_j, y_jm1), None
+
+        (y_s, _), _ = lax.scan(stage, (y1, y), jnp.arange(2, s + 1))
+        return y_s
+
+    return step
+
+
+def rkc_stages_for(dx, dy, h_max, a_max, n=3.0, rho=900.0, g=9.81,
+                   step=1.0 / 12.0, slope_max: float = 0.3, safety: float = 1.2) -> int:
+    """Stage count s with 0.65·s² ≥ safety·dt·λ_max for one save interval —
+    the RKC analogue of :func:`suggest_substeps` (quadratic instead of linear
+    cost in the stiffness)."""
+    import math
+
+    gamma = 2.0 * a_max * (rho * g) ** n / (n + 2.0)
+    d_max = gamma * float(h_max) ** (n + 2.0) * slope_max ** (n - 1.0)
+    lam = 4.0 * d_max / min(float(dx), float(dy)) ** 2
+    return max(int(math.ceil(math.sqrt(safety * step * lam / 0.65))), 2)
+
+
 _STEPPERS = {"RK4": rk4_step, "SSPRK3": ssprk3_step, "Euler": euler_step}
+
+
+def get_stepper(method: str, rkc_stages: int = 16):
+    """Resolve a stepper name; "RKC" builds an s-stage Chebyshev stepper."""
+    if method == "RKC":
+        return make_rkc2_step(rkc_stages)
+    return _STEPPERS[method]
 
 
 # ---------------------------------------------------------------------------
@@ -117,6 +219,7 @@ def integrate_scan(
     method: str = "RK4",
     callback: Optional[Callable] = None,
     checkpoint: bool = True,
+    rkc_stages: int = 16,
 ):
     """Integrate ``dy/dt = rhs(y, t)`` saving at every tstop.
 
@@ -129,7 +232,7 @@ def integrate_scan(
     Returns the trajectory, shape ``(len(tstops), *y0.shape)`` with
     ``traj[0] = y0``.
     """
-    step_fn = _STEPPERS[method]
+    step_fn = get_stepper(method, rkc_stages)
     tstops = jnp.asarray(tstops)
     t0s, t1s = tstops[:-1], tstops[1:]
     idxs = jnp.arange(t0s.shape[0])
