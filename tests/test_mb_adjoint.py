@@ -1,0 +1,114 @@
+"""Gradients with mass balance enabled, and heterogeneous-size batches.
+
+Covers the ±MB rows of the reference's gradient matrix
+(/root/reference/test/runtests.jl:114-266) — the MB pullback is injected at
+MB boundaries in the manual adjoints (gradient.jl MB tstops) — and the
+padding path for glaciers of different grid sizes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from grad_utils import fd_gradient, flatten_theta, grad_metrics
+
+from odinn_tpu.core.params import (
+    Hyperparameters,
+    Parameters,
+    PhysicalParameters,
+    SimulationParameters,
+    SolverParameters,
+    UDEParameters,
+)
+from odinn_tpu.data.synthetic import halfar_glacier, monthly_dummy_climate
+from odinn_tpu.inverse.adjoint_types import AutoVJP, DiscreteAdjoint, DiscreteVJP
+from odinn_tpu.inverse.gradient import make_adjoint_value_and_grad
+from odinn_tpu.laws.laws import ConstantA, CuffeyPaterson, LawA_inversion
+from odinn_tpu.models.model import Model, SIA2DModel
+from odinn_tpu.physics.mass_balance import TImodel1
+from odinn_tpu.simulation.inversion import Inversion, batch_transient_loss, run_inversion
+from odinn_tpu.simulation.prediction import generate_ground_truth
+from odinn_tpu.simulation.solver import build_tstops
+
+A_TRUE = 5e-18
+TSPAN = (5.0, 5.5)
+
+
+def make_params(use_mb=True, epochs=(10,), lr=(0.1,)):
+    return Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=TSPAN, use_MB=use_mb, step_MB=1.0 / 12.0,
+                                        use_velocities=False),
+        solver=SolverParameters(step=1.0 / 12.0, substeps=10),
+        hyper=Hyperparameters(optimizer=("adam",), learning_rate=lr, epochs=epochs),
+        UDE=UDEParameters(grad="jax"),
+    )
+
+
+@pytest.fixture(scope="module")
+def mb_setup():
+    params = make_params(use_mb=True)
+    clim = monthly_dummy_climate(5.0, 12, temp_mean=-1.0, nx=28, ny=28)
+    g = halfar_glacier(nx=28, ny=28, dx=140.0, temp=-15.0, A=A_TRUE, climate=clim)
+    g = g.replace(B=jnp.full_like(g.B, 1800.0))
+    tstops = build_tstops(TSPAN, params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=ConstantA(A_TRUE)), mass_balance=TImodel1())
+    glaciers = generate_ground_truth([g], params, truth, tstops, store=("H",))
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)),
+                  mass_balance=TImodel1())
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    inv.theta = {"A": jnp.array([0.2])}
+    loss_fn = jax.jit(lambda th: batch_transient_loss(th, inv.glaciers, model, params, tstops))
+    return params, inv, model, loss_fn
+
+
+def test_jax_gradient_with_mb_vs_fd(mb_setup):
+    """AD differentiates through the in-scan MB application (the reference
+    could not on the SciML path, inversion_utils.jl:321-323)."""
+    params, inv, model, loss_fn = mb_setup
+    g = jax.grad(loss_fn)(inv.theta)
+    g_fd = fd_gradient(loss_fn, inv.theta, eps=1e-6)
+    ratio, angle, relerr = grad_metrics(np.asarray(g["A"]), g_fd)
+    assert relerr < 1e-6, f"relerr {relerr}"
+
+
+@pytest.mark.parametrize("vjp", [DiscreteVJP(), AutoVJP()], ids=["discreteVJP", "autoVJP"])
+def test_discrete_adjoint_with_mb(mb_setup, vjp):
+    """Manual discrete adjoint with the MB pullback injected at MB boundaries
+    (±MB rows of runtests.jl:114-266)."""
+    params, inv, model, loss_fn = mb_setup
+    adjoint = DiscreteAdjoint(VJP_method=vjp)
+    p2 = params.replace(UDE=UDEParameters(grad=adjoint))
+    inv2 = Inversion(model=model, glaciers=inv.glaciers, parameters=p2, theta=inv.theta)
+    vg = make_adjoint_value_and_grad(inv2, flavor="discrete")
+    val, grads = vg(inv.theta)
+    # fp reduction-order differences only (reference asserts rtol 1e-8,
+    # gradient.jl:259)
+    np.testing.assert_allclose(float(val), float(loss_fn(inv.theta)), rtol=1e-8)
+    g_ad = jax.grad(loss_fn)(inv.theta)
+    rel = abs(float(grads["A"][0] - g_ad["A"][0])) / abs(float(g_ad["A"][0]))
+    # the MB pullback linearizes at the stored post-MB state (same convention
+    # as the reference's MB VJP at saved tstops); in practice it matches AD
+    # to near-roundoff on this configuration
+    assert rel < 1e-6, f"MB-adjoint vs AD rel {rel}"
+
+
+def test_heterogeneous_batch_trains():
+    """Mixed grid sizes train via pad-and-stack without contaminating the
+    loss (padding has zero observations)."""
+    params = make_params(use_mb=False, epochs=(8,), lr=(0.1,))
+    glaciers = [
+        halfar_glacier(nx=40, ny=36, dx=120.0, temp=-15.0, A=A_TRUE, rgi_id="h0"),
+        halfar_glacier(nx=28, ny=32, dx=150.0, temp=-20.0, A=A_TRUE, rgi_id="h1"),
+    ]
+    tstops = build_tstops(TSPAN, params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=ConstantA(A_TRUE)))
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    assert inv.glaciers.H0.shape == (2, 40, 36)
+    results = run_inversion(inv)
+    losses = results.stats.losses
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.6 * losses[0]
