@@ -106,6 +106,9 @@ class SolverParameters:
     progress_steps: int = 10
     maxiters: int = 50_000
     adaptive: bool = False          # adaptive while_loop path (forward-only)
+    remat: bool = True              # rematerialize intervals in reverse-mode
+                                    # (O(n_tstops) memory); False trades memory
+                                    # for backward speed on small problems
 
 
 @dataclass(frozen=True)

@@ -379,6 +379,18 @@ def _record(stats: TrainingStats, val, theta, grads, dt):
     stats.theta = theta
     if getattr(stats, "_record_theta_hist", False):
         stats.theta_hist.append(jax.tree.map(lambda x: np.asarray(x), theta))
+    # failure detection (SURVEY §5: the reference asserts solver retcodes and
+    # NaN-checks gradients): a non-finite loss means the solve left the
+    # integrator's stability region — fail loudly with the remedy
+    if not np.isfinite(val):
+        stats.retcode = "NumericalFailure"
+        raise FloatingPointError(
+            f"training loss became non-finite at iteration {stats.niter}. "
+            "The forward solve likely violated the explicit stability limit "
+            "(large creep/diffusivity). Increase solver.substeps / "
+            "solver.rkc_stages (see suggest_substeps / rkc_stages_for), set "
+            "SIA2DModel.max_D, or lower the learning rate."
+        )
     gnorm = float(
         jnp.sqrt(
             sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))

@@ -85,7 +85,7 @@ def forward_glacier(
     if not periodic:
         return integrate_scan(
             rhs, H0, tstops, params.solver.substeps, method=method, callback=callback,
-            rkc_stages=params.solver.rkc_stages,
+            checkpoint=params.solver.remat, rkc_stages=params.solver.rkc_stages,
         )
 
     # Periodic laws (callback_freq > 0, docs/src/inversions.md:140-156): their
@@ -134,6 +134,7 @@ def forward_glacier(
             )
         return (H, vals), H
 
+    tstops = jnp.asarray(tstops, dtype=jnp.result_type(H0))
     t0s, t1s = tstops[:-1], tstops[1:]
     idxs = jnp.arange(t0s.shape[0])
     body = jax.checkpoint(interval)

@@ -233,7 +233,7 @@ def integrate_scan(
     ``traj[0] = y0``.
     """
     step_fn = get_stepper(method, rkc_stages)
-    tstops = jnp.asarray(tstops)
+    tstops = jnp.asarray(tstops, dtype=jnp.result_type(y0))
     t0s, t1s = tstops[:-1], tstops[1:]
     idxs = jnp.arange(t0s.shape[0])
 
@@ -285,7 +285,7 @@ def integrate_adaptive(
     forward-only, mirroring the reference's adaptive forward solves
     (SolverParameters.reltol, /root/reference/test/params_construction.jl:5-13).
     """
-    tstops = jnp.asarray(tstops)
+    tstops = jnp.asarray(tstops, dtype=jnp.result_type(y0))
     dt_init = jnp.asarray(dt0 if dt0 is not None else (tstops[1] - tstops[0]) / 100.0, y0.dtype)
 
     def err_norm(err, y_a, y_b):

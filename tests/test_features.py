@@ -224,3 +224,23 @@ def test_time_utils():
     assert int(ind_from_t(ts, 0.5)) == 1
     assert bool(stop_condition_tstops(0.5, ts))
     assert not bool(stop_condition_tstops(0.3, ts))
+
+
+def test_numerical_failure_detection(gt):
+    """Non-finite loss raises a diagnostic error (SURVEY §5 failure
+    detection: the reference asserts retcodes / warns on exploding grads)."""
+    import pytest as _pytest
+
+    params, glaciers, tstops = gt
+    # guaranteed blow-up: far too few substeps for max-range A
+    params = params.replace(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-17),
+        solver=SolverParameters(step=1.0 / 12.0, substeps=1),
+        hyper=Hyperparameters(optimizer=("adam",), learning_rate=(5.0,), epochs=(20,)),
+    )
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    inv.theta = {"A": jnp.array([4.0, 4.0])}   # tanh(4) ~ 1 → A near max
+    with _pytest.raises(FloatingPointError, match="non-finite"):
+        run_inversion(inv)
+    assert inv.results is None or inv.results.stats is None  # aborted before results
