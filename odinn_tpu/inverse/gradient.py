@@ -72,6 +72,13 @@ def _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
     loss_cfg = params.UDE.empirical_loss_function or _default_loss()
     if not isinstance(loss_cfg, MultiLoss):
         loss_cfg = MultiLoss(terms=(loss_cfg,), weights=(1.0,))
+    aggregate = [t_ for t_ in loss_cfg.terms if term_kind(t_) == "aggregate"]
+    if aggregate:
+        raise NotImplementedError(
+            "time-aggregated loss terms (LossDhdt/LossAvgV) are not supported "
+            "on the manual adjoint paths yet; use UDE.grad='jax' (reverse-mode "
+            "AD through the solve) for those terms"
+        )
     transient = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms) if term_kind(t_) == "transient"]
     td = glacier.thickness_data
     vd = glacier.velocity_data
@@ -382,6 +389,41 @@ def glacier_adjoint_value_and_grad(
         dtheta = jax.tree.map(lambda acc, c: acc + jnp.sum(c, axis=0), dtheta, contributions)
     else:
         raise TypeError(f"unknown adjoint {adjoint!r}")
+
+    # ------- initial-state loss terms (regularizations at t₀) -------
+    # evaluated once and pulled back directly through θ (and, for the
+    # trainable IC, through H₀(θ)) — mirrors the reference's backward_loss
+    # dispatch for regularization terms (Regularization.jl:164-191,283-313)
+    from odinn_tpu.simulation.inversion import _default_loss as _dl
+
+    loss_cfg = params.UDE.empirical_loss_function or _dl()
+    if not isinstance(loss_cfg, MultiLoss):
+        loss_cfg = MultiLoss(terms=(loss_cfg,), weights=(1.0,))
+    initial_terms = [
+        (w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms)
+        if term_kind(t_) == "initial"
+    ]
+    if initial_terms:
+        npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
+
+        def initial_loss(th):
+            if model.initial_condition is not None and "IC" in th:
+                h_init = model.initial_condition.evaluate_H0(th, glacier_idx)
+            else:
+                h_init = glacier.H0
+            ctx0 = LossContext(
+                normalization=jnp.asarray(float(npix)), theta=th,
+                glacier_idx=glacier_idx, glacier=glacier,
+                dx=glacier.dx, dy=glacier.dy,
+            )
+            acc = jnp.asarray(0.0, traj.dtype)
+            for w, term in initial_terms:
+                acc = acc + w * term(ctx0, h_init, tstops[0])
+            return acc
+
+        l0, pb0 = jax.vjp(initial_loss, theta)
+        loss_val = loss_val + l0
+        dtheta = jax.tree.map(jnp.add, dtheta, pb0(jnp.asarray(1.0, traj.dtype))[0])
 
     # ------- initial-condition gradient (gradient.jl IC handoff) -------
     if model.initial_condition is not None and "IC" in theta:

@@ -112,3 +112,52 @@ def test_heterogeneous_batch_trains():
     losses = results.stats.losses
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.6 * losses[0]
+
+
+def test_manual_adjoint_with_ic_and_regularization(mb_setup):
+    """DiscreteAdjoint handles trainable IC + initial regularization terms:
+    matches the AD gradient (runtests.jl ±trainable-IC rows)."""
+    from odinn_tpu.losses.losses import LossH, MultiLoss
+    from odinn_tpu.losses.regularization import InitialThicknessRegularization
+    from odinn_tpu.models.initial_condition import InitialCondition
+
+    params, inv, _, _ = mb_setup
+    loss = MultiLoss((LossH(), InitialThicknessRegularization()), (1.0, 1e-12))
+    p2 = params.replace(
+        simulation=SimulationParameters(tspan=TSPAN, use_MB=False, use_velocities=False),
+        UDE=UDEParameters(grad=DiscreteAdjoint(VJP_method=AutoVJP()),
+                          empirical_loss_function=loss,
+                          initial_condition_filter="Zang1980"),
+    )
+    ic = InitialCondition(filter="Zang1980")
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(p2, scalar=True)),
+                  initial_condition=ic)
+    inv2 = Inversion(model=model, glaciers=inv.glaciers, parameters=p2)
+    theta = inv2.theta
+    tstops = build_tstops(TSPAN, p2.solver.step)
+    loss_fn = lambda th: batch_transient_loss(th, inv2.glaciers, model, p2, tstops)
+    g_ad = jax.grad(loss_fn)(theta)
+
+    vg = make_adjoint_value_and_grad(inv2, flavor="discrete")
+    val, g_man = vg(theta)
+    np.testing.assert_allclose(float(val), float(loss_fn(theta)), rtol=1e-8)
+    for k in g_ad:
+        a = np.asarray(g_ad[k]).ravel()
+        m = np.asarray(g_man[k]).ravel()
+        denom = np.linalg.norm(a) + 1e-30
+        assert np.linalg.norm(m - a) / denom < 1e-6, f"{k}: manual vs AD mismatch"
+
+
+def test_manual_adjoint_rejects_aggregate_terms(mb_setup):
+    from odinn_tpu.losses.time_aggregated import LossDhdt
+    from odinn_tpu.losses.losses import MultiLoss
+
+    params, inv, model, _ = mb_setup
+    p2 = params.replace(
+        UDE=UDEParameters(grad=DiscreteAdjoint(VJP_method=AutoVJP()),
+                          empirical_loss_function=MultiLoss((LossDhdt(),), (1.0,))),
+    )
+    inv2 = Inversion(model=model, glaciers=inv.glaciers, parameters=p2, theta=inv.theta)
+    vg = make_adjoint_value_and_grad(inv2, flavor="discrete")
+    with pytest.raises(NotImplementedError, match="aggregated"):
+        vg(inv.theta)
