@@ -45,6 +45,7 @@ from odinn_tpu.core.glacier import (
     SurfaceVelocityData,
     ThicknessData,
     is_in_glacier,
+    regrid_velocity_data,
     stack_glaciers,
 )
 

@@ -32,6 +32,7 @@ __all__ = [
     "Climate2D",
     "ThicknessData",
     "SurfaceVelocityData",
+    "regrid_velocity_data",
     "DhdtData",
     "Glacier",
     "stack_glaciers",
@@ -116,16 +117,58 @@ class SurfaceVelocityData:
     """Observed/reference surface-velocity data (Sleipnir.SurfaceVelocityData).
 
     Field names follow /root/reference/scripts/MWEs/inversion_diffusivity/
-    inversion_setup.jl:79-86.
+    inversion_setup.jl:79-86. When the datacube grid differs from the glacier
+    grid (``is_grid_glacier_aligned=False``), carry the source coordinates in
+    ``x``/``y`` and call :func:`regrid_velocity_data` before training.
     """
 
     t: jnp.ndarray = None        # (n_obs,) float years (reference's `date`)
     vx: jnp.ndarray = None       # (n_obs, nx, ny)
     vy: jnp.ndarray = None       # (n_obs, nx, ny)
     vabs: jnp.ndarray = None     # (n_obs, nx, ny)
+    x: jnp.ndarray = None        # (nx_src,) datacube x coordinates [m]
+    y: jnp.ndarray = None        # (ny_src,) datacube y coordinates [m]
     date1: jnp.ndarray = None    # interval start (for interval-averaged products)
     date2: jnp.ndarray = None    # interval end
     is_grid_glacier_aligned: bool = _static(default=True)
+
+
+def regrid_velocity_data(vd: "SurfaceVelocityData", glacier) -> "SurfaceVelocityData":
+    """Bilinearly regrid a velocity datacube onto the glacier grid
+    (Sleipnir's grid-alignment mapping for ``isGridGlacierAligned=false``
+    products). Cells outside the datacube footprint get 0 (= masked out by
+    the V_ref > 0 loss masks)."""
+    if vd.is_grid_glacier_aligned:
+        return vd
+    if vd.x is None or vd.y is None:
+        raise ValueError("regridding requires the datacube x/y coordinates")
+    from jax.scipy.ndimage import map_coordinates
+
+    gx, gy = glacier.coords_x, glacier.coords_y
+    # fractional indices of glacier cell centers in the datacube grid
+    ix = (gx - vd.x[0]) / (vd.x[1] - vd.x[0])
+    iy = (gy - vd.y[0]) / (vd.y[1] - vd.y[0])
+    IX, IY = jnp.meshgrid(ix, iy, indexing="ij")
+    inside = (
+        (IX >= 0.0) & (IX <= vd.x.shape[0] - 1.0)
+        & (IY >= 0.0) & (IY <= vd.y.shape[0] - 1.0)
+    )
+
+    def regrid_field(f):
+        out = jax.vmap(
+            lambda fr: map_coordinates(fr, [IX, IY], order=1, mode="constant", cval=0.0)
+        )(f)
+        return out * inside[None]
+
+    return dataclasses.replace(
+        vd,
+        vx=regrid_field(vd.vx),
+        vy=regrid_field(vd.vy),
+        vabs=regrid_field(vd.vabs),
+        x=glacier.coords_x,
+        y=glacier.coords_y,
+        is_grid_glacier_aligned=True,
+    )
 
 
 @jax.tree_util.register_dataclass

@@ -90,3 +90,32 @@ def test_sparse_observations_drive_loss():
     val, grads = vg(theta)
     np.testing.assert_allclose(float(val), ls, rtol=1e-8)
     np.testing.assert_allclose(float(grads["A"][0]), float(g_grad["A"][0]), rtol=1e-8)
+
+
+def test_velocity_datacube_regridding():
+    """Non-glacier-aligned velocity datacubes regrid bilinearly onto the
+    glacier grid (Sleipnir isGridGlacierAligned=false handling)."""
+    import jax
+
+    from odinn_tpu.core.glacier import SurfaceVelocityData, regrid_velocity_data
+
+    g = halfar_glacier(nx=32, ny=32, dx=100.0, temp=-15.0)
+    # datacube on a coarser, offset grid covering the glacier
+    xs = jnp.linspace(float(g.coords_x[0]) - 120.0, float(g.coords_x[-1]) + 80.0, 24)
+    ys = jnp.linspace(float(g.coords_y[0]) - 60.0, float(g.coords_y[-1]) + 140.0, 20)
+    X, Y = jnp.meshgrid(xs, ys, indexing="ij")
+    # a smooth analytic field so bilinear error is tiny
+    f = 1e-3 * X + 2e-3 * Y
+    vd = SurfaceVelocityData(
+        t=jnp.array([5.0]), vx=f[None], vy=2 * f[None], vabs=jnp.abs(f)[None],
+        x=xs, y=ys, is_grid_glacier_aligned=False,
+    )
+    out = regrid_velocity_data(vd, g)
+    assert out.is_grid_glacier_aligned
+    assert out.vx.shape == (1, 32, 32)
+    GX, GY = jnp.meshgrid(g.coords_x, g.coords_y, indexing="ij")
+    expect = 1e-3 * GX + 2e-3 * GY
+    np.testing.assert_allclose(np.asarray(out.vx[0]), np.asarray(expect), atol=1e-9)
+    # aligned data passes through untouched
+    vd2 = SurfaceVelocityData(t=jnp.array([5.0]), vx=f[None], vy=f[None], vabs=f[None])
+    assert regrid_velocity_data(vd2, g) is vd2
