@@ -78,6 +78,97 @@ def shard_theta(theta, mesh: Mesh, per_glacier_keys=("IC",), axis_name: str = GL
     return jax.tree_util.tree_map_with_path(place, theta)
 
 
+def make_shard_map_value_and_grad(model, params, tstops, mesh: Mesh,
+                                  axis_name: str = GLACIER_AXIS,
+                                  per_glacier_keys=("IC", "A")):
+    """Explicit-collective training step: `shard_map` over the glacier axis
+    with a hand-placed `psum` for the shared-θ gradient.
+
+    The jit+NamedSharding path lets GSPMD insert the collectives; this variant
+    pins them explicitly (the scaling-book recipe): each shard computes its
+    local loss/gradient over its glaciers, then
+      - the loss and shared-θ gradients are psum-reduced over ICI,
+      - per-glacier θ entries (leading glacier axis, e.g. trainable IC or
+        per-glacier A) stay sharded — their gradients are local by
+        construction, mirroring the reference keeping per-glacier params on
+        their owning worker (SURVEY §2.9).
+
+    Returns ``value_and_grad(theta, batch)`` to be wrapped in jit. Inside a
+    shard, glaciers and sharded per-glacier θ rows correspond 1:1, so
+    glacier indexing is shard-local.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from odinn_tpu.simulation.inversion import batch_transient_loss
+
+    n_dev = mesh.shape[axis_name]
+
+    def local_value_and_grad(theta, batch_shard):
+        import jax.numpy as _jnp
+
+        local_ids = _jnp.arange(batch_shard.H0.shape[0])
+
+        def local_loss(th):
+            return batch_transient_loss(th, batch_shard, model, params, tstops,
+                                        glacier_ids=local_ids)
+
+        val, grads = jax.value_and_grad(local_loss)(theta)
+        val = jax.lax.psum(val, axis_name)
+        n_local = batch_shard.H0.shape[0]
+
+        def reduce_grad(path, g):
+            key = path[0].key if path else None
+            if (
+                key in per_glacier_keys
+                and hasattr(g, "ndim")
+                and g.ndim >= 1
+                and g.shape[0] == n_local
+            ):
+                return g          # per-glacier: stays sharded, no collective
+            return jax.lax.psum(g, axis_name)
+
+        grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
+        return val, grads
+
+    def specs_for_theta(theta, n_g):
+        def spec(path, x):
+            key = path[0].key if path else None
+            # per-glacier θ: named slot AND an array with the glacier axis
+            # leading (distinguishes per-glacier params from an NN parameter
+            # pytree that happens to live under the same slot key)
+            if (
+                key in per_glacier_keys
+                and hasattr(x, "ndim")
+                and x.ndim >= 1
+                and x.shape[0] == n_g
+                and n_g % n_dev == 0
+            ):
+                return P(axis_name)
+            return P()
+
+        return jax.tree_util.tree_map_with_path(spec, theta)
+
+    def batch_specs(batch):
+        return jax.tree.map(
+            lambda x: P(axis_name)
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n_dev == 0
+            else P(),
+            batch,
+        )
+
+    def value_and_grad(theta, batch):
+        theta_specs = specs_for_theta(theta, batch.H0.shape[0])
+        return shard_map(
+            local_value_and_grad,
+            mesh=mesh,
+            in_specs=(theta_specs, batch_specs(batch)),
+            out_specs=(P(), theta_specs),
+            check_rep=False,
+        )(theta, batch)
+
+    return value_and_grad
+
+
 def pad_batch_to(batch, n: int):
     """Pad the glacier batch (leading axis) to a multiple of the mesh size by
     repeating the last glacier with zeroed observations.

@@ -97,3 +97,44 @@ def test_pad_batch_contributes_zero(problem):
     assert orig == 5 and padded.H0.shape[0] == 8
     loss8 = float(batch_transient_loss(theta, padded, model, params, tstops))
     np.testing.assert_allclose(loss8, loss5, rtol=1e-12)
+
+
+def test_shard_map_explicit_collectives(problem):
+    """Explicit shard_map + psum path equals the GSPMD-automatic path: shared
+    NN θ gradient allreduced, loss identical."""
+    from odinn_tpu.parallel.mesh import make_shard_map_value_and_grad
+
+    params, model, batch, theta, tstops = problem
+    mesh = make_mesh(8)
+    vg = jax.jit(make_shard_map_value_and_grad(model, params, tstops, mesh))
+    val, grads = vg(theta, batch)
+
+    ref_val, ref_grads = jax.jit(
+        jax.value_and_grad(lambda th: batch_transient_loss(th, batch, model, params, tstops))
+    )(theta, )
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-10)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+
+def test_shard_map_per_glacier_theta(problem):
+    """Per-glacier θ (scalar A per glacier) stays sharded: local gradients,
+    no collective — and matches the single-device gradient."""
+    from odinn_tpu.laws.laws import LawA_inversion
+    from odinn_tpu.models.model import Model, SIA2DModel, init_theta
+    from odinn_tpu.parallel.mesh import make_shard_map_value_and_grad
+
+    params, _, batch, _, tstops = problem
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    theta = init_theta(model, batch)
+    assert theta["A"].shape == (8,)
+
+    mesh = make_mesh(8)
+    vg = jax.jit(make_shard_map_value_and_grad(model, params, tstops, mesh,
+                                               per_glacier_keys=("A",)))
+    val, grads = vg(theta, batch)
+    ref_val, ref_grads = jax.jit(
+        jax.value_and_grad(lambda th: batch_transient_loss(th, batch, model, params, tstops))
+    )(theta)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(grads["A"]), np.asarray(ref_grads["A"]), rtol=1e-9)
