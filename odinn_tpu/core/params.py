@@ -95,11 +95,13 @@ class SolverParameters:
     (see odinn_tpu.simulation.solver).
     """
 
-    solver: str = "RK4"             # "RK4" | "SSPRK3" | "Euler" | "RKC" (stabilized Chebyshev)
+    solver: str = "RK4"             # "RK4" | "SSPRK3" | "Euler" | "RKC" (stabilized
+                                    # Chebyshev) | "SI" (semi-implicit, unconditionally stable)
     reltol: float = 1e-8
     step: float = 1.0 / 12.0        # save/callback step (tstop spacing) [yr]
     substeps: int = 20              # fixed substeps per tstop interval (scan path)
     rkc_stages: int = 16            # stage count for the RKC stabilized stepper
+    cg_iters: int = 30              # CG iterations for the semi-implicit solver
     save_everystep: bool = False
     tstops: Optional[Tuple[float, ...]] = None
     progress: bool = False

@@ -1,0 +1,131 @@
+"""Semi-implicit SIA2D stepping: unconditional stability via linear solves.
+
+The explicit paths (RK substeps, RKC stages) are bound by the diffusion CFL
+limit dt ≤ dx²/(4 D_max); when an optimizer explores large creep values the
+solve can leave the stability region (the failure mode the NaN detector in
+train_ude names). The classic glaciological remedy is the semi-implicit
+scheme (cf. GLIMMER/Huybrechts-style SIA solvers):
+
+    (I − Δt·∇·(Dᵏ∇·)) H^{k+1} = Hᵏ + Δt·∇·(Dᵏ∇B)
+
+with the diffusivity frozen at step k. The operator is symmetric positive
+definite, so H^{k+1} comes from a matrix-free conjugate-gradient solve; the
+border ring is held fixed (the explicit scheme's interior-only update) and the
+state is projected to H ≥ 0 afterwards.
+
+TPU-native construction: the operator application is the same fused stencil
+chain as the explicit RHS (one XLA fusion per CG iteration), CG runs as a
+fixed-iteration ``lax.scan``, and the whole step is wrapped in
+``lax.custom_linear_solve`` — JAX differentiates the solve via the implicit
+function theorem (adjoint solve with the same SPD operator) instead of
+unrolling CG in the backward pass.
+
+Differences from the reference's discretization: the η₀ flux clamp is applied
+to the *explicit* part only (the implicit operator is linear), so margin
+fluxes differ at O(Δt); validate against Halfar (tests/test_implicit.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from odinn_tpu.ops import stencils as st
+
+__all__ = ["semi_implicit_step", "integrate_semi_implicit"]
+
+
+def _frozen_diffusivity(H, B, dx, dy, values_fn, target, phys):
+    Hc = st.relu_strict(H)
+    S = B + Hc
+    gsx, gsy = st.grad_slope(S, dx, dy)
+    grad_s = st.safe_norm(gsx, gsy)
+    hbar = st.avg(Hc)
+    vals = values_fn(hbar, grad_s)
+    return target.diffusivity(vals, hbar, grad_s, phys)
+
+
+def _div_flux(u, D, dx, dy):
+    """∇·(D∇u) on the interior (zero ring), D frozen on the staggered grid."""
+    dudx_e = st.diff_x(u[..., :, 1:-1]) / dx
+    dudy_e = st.diff_y(u[..., 1:-1, :]) / dy
+    fx = st.avg_y(D) * dudx_e
+    fy = st.avg_x(D) * dudy_e
+    div = st.diff_x(fx) / dx + st.diff_y(fy) / dy
+    return st.pad_inner(div)
+
+
+def _cg(matvec, b, x0, iters: int):
+    """Fixed-iteration conjugate gradients (SPD operator, scan-driven)."""
+    r0 = b - matvec(x0)
+    p0 = r0
+    rs0 = jnp.sum(r0 * r0)
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(denom > 0.0, rs / jnp.maximum(denom, 1e-300), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.sum(r * r)
+        beta = jnp.where(rs > 0.0, rs_new / jnp.maximum(rs, 1e-300), 0.0)
+        p = r + beta * p
+        return (x, r, p, rs_new), None
+
+    (x, r, p, rs), _ = lax.scan(body, (x0, r0, p0, rs0), None, length=iters)
+    return x
+
+
+def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int = 30):
+    """One semi-implicit step of length dt (unconditionally stable)."""
+    D = _frozen_diffusivity(H, B, dx, dy, values_fn, target, phys)
+    # the operator must not see gradients through D's frozen value here;
+    # custom_linear_solve closes over D and differentiates it via the
+    # product-rule term of the implicit function theorem automatically
+    interior = jnp.zeros_like(H).at[..., 1:-1, 1:-1].set(1.0)
+
+    def matvec(u):
+        # ring rows act as identity (Dirichlet-fixed boundary)
+        return u - dt * interior * _div_flux(u, D, dx, dy)
+
+    b = H + dt * interior * _div_flux(B, D, dx, dy)
+
+    H_new = lax.custom_linear_solve(
+        matvec, b, solve=lambda mv, rhs: _cg(mv, rhs, H, cg_iters), symmetric=True
+    )
+    return st.relu_strict(H_new)
+
+
+def integrate_semi_implicit(
+    H0, B, dx, dy, values_fn, target, phys, tstops, substeps: int = 1,
+    cg_iters: int = 30, callback=None,
+):
+    """Semi-implicit integration saving at every tstop (integrate_scan-shaped).
+
+    ``substeps`` semi-implicit steps per save interval control the O(Δt)
+    splitting error (stability never requires more than 1).
+    """
+    tstops = jnp.asarray(tstops, dtype=jnp.result_type(H0))
+    t0s, t1s = tstops[:-1], tstops[1:]
+    idxs = jnp.arange(t0s.shape[0])
+
+    def interval(H, xs):
+        t0, t1, i = xs
+        dt = (t1 - t0) / substeps
+
+        def sub(Hc, _):
+            return semi_implicit_step(Hc, B, dx, dy, values_fn, target, phys, dt,
+                                      cg_iters), None
+
+        H, _ = lax.scan(sub, H, None, length=substeps)
+        if callback is not None:
+            H = callback(H, t0, t1, i)
+        return H, H
+
+    body = jax.checkpoint(interval)
+    _, traj = lax.scan(body, H0, (t0s, t1s, idxs))
+    return jnp.concatenate([H0[None], traj], axis=0)

@@ -81,7 +81,21 @@ def forward_glacier(
             return jax.lax.cond((i + 1) % k == 0, apply, lambda H: H, H)
 
     periodic = model.iceflow.periodic_laws
-    method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler", "RKC") else "RK4"
+    method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler", "RKC", "SI") else "RK4"
+    if method == "SI":
+        # unconditionally stable semi-implicit path (no CFL sizing needed)
+        if periodic:
+            raise NotImplementedError(
+                "periodic laws with the semi-implicit solver are not wired yet; "
+                "use an explicit method (RK4/SSPRK3/RKC)"
+            )
+        from odinn_tpu.simulation.implicit import integrate_semi_implicit
+
+        return integrate_semi_implicit(
+            H0, glacier.B, glacier.dx, glacier.dy, values_fn, target, phys, tstops,
+            substeps=params.solver.substeps, cg_iters=params.solver.cg_iters,
+            callback=callback,
+        )
     if not periodic:
         return integrate_scan(
             rhs, H0, tstops, params.solver.substeps, method=method, callback=callback,

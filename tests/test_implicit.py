@@ -1,0 +1,111 @@
+"""Semi-implicit solver: Halfar accuracy, unconditional stability, implicit
+differentiation, end-to-end training without CFL sizing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odinn_tpu.core.params import (
+    Hyperparameters,
+    Parameters,
+    PhysicalParameters,
+    SimulationParameters,
+    SolverParameters,
+    UDEParameters,
+)
+from odinn_tpu.data.halfar import Halfar, HalfarParameters
+from odinn_tpu.data.synthetic import halfar_glacier
+from odinn_tpu.laws.laws import ConstantA, LawA_inversion
+from odinn_tpu.models.model import Model, SIA2DModel
+from odinn_tpu.physics.sia2d import SIAValues, sia2d_rhs
+from odinn_tpu.physics.targets import ATarget
+from odinn_tpu.simulation.implicit import integrate_semi_implicit
+from odinn_tpu.simulation.inversion import Inversion, run_inversion
+from odinn_tpu.simulation.prediction import forward_glacier, generate_ground_truth
+from odinn_tpu.simulation.solver import build_tstops, integrate_scan
+
+PHYS = PhysicalParameters(min_A=8e-21, max_A=8e-17)
+A = 8e-19
+
+
+def halfar_setup(nx=96, dx=50.0):
+    p = HalfarParameters(R0=1000.0, H0=500.0, A=A, n=3.0, rho=PHYS.rho, g=PHYS.g)
+    fn, _ = Halfar(p)
+    xs = jnp.array([(i - nx / 2) * dx for i in range(nx)])
+    x, y = jnp.meshgrid(xs, xs, indexing="ij")
+    vals = SIAValues(A=jnp.asarray(A), C=jnp.asarray(0.0), n=jnp.asarray(3.0),
+                     p=jnp.asarray(3.0), q=jnp.asarray(0.0))
+    return fn, x, y, (lambda hb, gs: vals), vals
+
+
+def test_si_matches_halfar_one_step_per_month():
+    fn, x, y, vfn, _ = halfar_setup()
+    H0 = fn(x, y, 5.0)
+    tst = build_tstops((5.0, 7.0), 1.0 / 12.0)
+    tr = jax.jit(
+        lambda h: integrate_semi_implicit(h, jnp.zeros_like(h), 50.0, 50.0, vfn,
+                                          ATarget(), PHYS, tst, substeps=1, cg_iters=30)
+    )(H0)
+    Href = fn(x, y, 7.0)
+    m = np.asarray(Href > 10.0)
+    rel = np.abs(np.asarray(tr[-1] - Href))[m] / np.asarray(Href)[m]
+    assert rel.mean() < 2e-2
+
+
+def test_si_unconditionally_stable():
+    """100x the stiffness, still one step per month — explicit methods at this
+    budget blow up (cf. tests/test_periodic_laws.py cap test)."""
+    fn, x, y, _, vals = halfar_setup()
+    H0 = fn(x, y, 5.0)
+    big = vals.replace(A=jnp.asarray(8e-17))
+    tst = build_tstops((5.0, 6.0), 1.0 / 12.0)
+    tr = jax.jit(
+        lambda h: integrate_semi_implicit(h, jnp.zeros_like(h), 50.0, 50.0,
+                                          lambda hb, gs: big, ATarget(), PHYS, tst,
+                                          substeps=1, cg_iters=40)
+    )(H0)
+    assert np.isfinite(np.asarray(tr)).all()
+    assert float(tr[-1].max()) < float(H0.max())
+
+
+def test_si_gradient_via_implicit_diff():
+    """custom_linear_solve differentiates the solve implicitly (adjoint solve,
+    not unrolled CG); matches FD."""
+    fn, x, y, _, vals = halfar_setup(nx=48, dx=80.0)
+    H0 = fn(x, y, 5.0)
+    tst = build_tstops((5.0, 5.5), 1.0 / 12.0)
+
+    def loss(logA):
+        v = vals.replace(A=jnp.exp(logA))
+        tr = integrate_semi_implicit(H0, jnp.zeros_like(H0), 80.0, 80.0,
+                                     lambda hb, gs: v, ATarget(), PHYS, tst,
+                                     substeps=1, cg_iters=30)
+        return jnp.sum(tr[-1] ** 2)
+
+    g = jax.grad(loss)(jnp.log(A))
+    e = 1e-5
+    fd = (loss(jnp.log(A) + e) - loss(jnp.log(A) - e)) / (2 * e)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)
+
+
+def test_si_end_to_end_inversion():
+    """Training with solver='SI' over the FULL A range — no CFL sizing, no
+    max_D cap, no blow-up while the optimizer explores."""
+    params = Parameters(
+        physical=PHYS,   # max_A = 8e-17: explicit methods would need ~100x substeps
+        simulation=SimulationParameters(tspan=(5.0, 5.5), use_MB=False,
+                                        use_velocities=False),
+        solver=SolverParameters(solver="SI", step=1.0 / 12.0, substeps=1, cg_iters=30),
+        hyper=Hyperparameters(optimizer=("adam",), learning_rate=(0.3,), epochs=(15,)),
+        UDE=UDEParameters(grad="jax"),
+    )
+    glaciers = [halfar_glacier(nx=36, ny=36, dx=120.0, temp=-15.0, A=5e-18, rgi_id="si0")]
+    tstops = build_tstops((5.0, 5.5), params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=ConstantA(5e-18)))
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    results = run_inversion(inv)
+    losses = results.stats.losses
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.3 * losses[0], f"{losses[0]} -> {losses[-1]}"
