@@ -46,9 +46,9 @@ def main():
             tspan=TSPAN, use_MB=True, step_MB=1.0 / 12.0, use_velocities=False,
             float_dtype="float32",
         ),
-        # stabilized Chebyshev stepper: one 25-stage step per monthly save
-        # interval (vs 25 RK4 substeps = 100 RHS evals) at equal accuracy
-        solver=SolverParameters(step=1.0 / 12.0, substeps=1, solver="RKC", rkc_stages=25),
+        # semi-implicit solver: one unconditionally-stable step per monthly
+        # save interval (matrix-free CG); fastest path and no CFL sizing
+        solver=SolverParameters(step=1.0 / 12.0, substeps=1, solver="SI", cg_iters=20),
         UDE=UDEParameters(grad="jax"),
     )
 
