@@ -86,25 +86,38 @@ def main():
         print(f"RHS n_g={n_g:3d}: XLA {t_xla*1e6:8.1f}us  Pallas {t_pls*1e6:8.1f}us  "
               f"(~{bytes_touched/t_xla/1e9:.0f} vs {bytes_touched/t_pls/1e9:.0f} GB/s eff)")
 
-    # ---- 2. forward solve scaling ----
+    # ---- 2. forward solve scaling across solver paths ----
+    tstops = build_tstops((5.0, 10.0), 1 / 12)
+    model_c = Model(iceflow=SIA2DModel(A=CuffeyPaterson(), n_value=3.0))
+    solver_cfgs = [
+        ("RK4x25", SolverParameters(step=1 / 12, substeps=25)),
+        ("RKC-25", SolverParameters(step=1 / 12, substeps=1, solver="RKC", rkc_stages=25)),
+        ("SI-cg20", SolverParameters(step=1 / 12, substeps=1, solver="SI", cg_iters=20)),
+    ]
+    for n_g in (4, 64):
+        batch, _ = make_batch(n_g)
+        for label, solver in solver_cfgs:
+            params = Parameters(
+                physical=phys,
+                simulation=SimulationParameters(tspan=(5.0, 10.0), use_MB=False,
+                                                use_velocities=False, float_dtype="float32"),
+                solver=solver,
+                UDE=UDEParameters(grad="jax"),
+            )
+            fwd = jax.jit(lambda b: forward_batch(None, b, model_c, params, tstops))
+            t = timeit(fwd, batch, n=3)
+            print(f"forward 5yr n_g={n_g:3d} {label:8s}: {t:7.3f}s  ({t/n_g*1000:6.1f} ms/glacier)")
     params = Parameters(
         physical=phys,
         simulation=SimulationParameters(tspan=(5.0, 10.0), use_MB=False,
                                         use_velocities=False, float_dtype="float32"),
-        solver=SolverParameters(step=1 / 12, substeps=25),
+        solver=SolverParameters(step=1 / 12, substeps=1, solver="SI", cg_iters=20),
         UDE=UDEParameters(grad="jax"),
     )
-    tstops = build_tstops((5.0, 10.0), 1 / 12)
-    model_c = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
-    for n_g in (4, 16, 64):
-        batch, _ = make_batch(n_g)
-        fwd = jax.jit(lambda b: forward_batch(None, b, model_c, params, tstops))
-        t = timeit(fwd, batch, n=3)
-        print(f"forward 5yr n_g={n_g:3d}: {t:7.3f}s  ({t/n_g*1000:6.1f} ms/glacier)")
 
     # ---- 3. UDE training epoch ----
     nn = NeuralNetwork(default_architecture(1), seed=666)
-    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params), n_value=3.0))
     params2 = params.replace(
         simulation=SimulationParameters(tspan=(5.0, 7.0), use_MB=False,
                                         use_velocities=False, float_dtype="float32"))
