@@ -248,6 +248,13 @@ def glacier_adjoint_value_and_grad(
         return jax.lax.cond(j % k_mb == 0, apply, lambda l: l, lam)
 
     if isinstance(adjoint, DiscreteAdjoint):
+        if params.solver.solver in ("RKC", "SI"):
+            raise NotImplementedError(
+                "DiscreteAdjoint transposes the explicit RK substep forward "
+                "(RK4/SSPRK3/Euler); for solver='RKC' or 'SI' use "
+                "UDE.grad='jax' (reverse-mode AD differentiates both, the SI "
+                "solve implicitly via custom_linear_solve) or ContinuousAdjoint"
+            )
         substeps = adjoint.substeps or params.solver.substeps
         method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler") else "RK4"
 

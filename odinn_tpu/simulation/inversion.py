@@ -277,6 +277,12 @@ def train_ude(
     def loss_fn(theta):
         return batch_transient_loss(theta, batch, model, params, tstops)
 
+    # loss with the batch as an explicit argument: closed-over device arrays
+    # become baked constants, which remote-execution backends may re-ship per
+    # call — pass the (large) glacier batch through the jit boundary instead
+    def loss_fn_b(theta, b):
+        return batch_transient_loss(theta, b, model, params, tstops)
+
     stats = TrainingStats()
     stats._record_theta_hist = record_theta_hist
     theta = inversion.theta
@@ -298,35 +304,45 @@ def train_ude(
                 # glacier minibatching (Hyperparameters.batch_size; the
                 # reference's DataLoader loop, ML_utils.jl:190-200)
                 @jax.jit
-                def step_mb(theta, state, ids):
-                    sub = gather_batch(batch, ids)
+                def step_mb(theta, state, b, ids):
                     val, grads = jax.value_and_grad(
-                        lambda th: batch_transient_loss(th, sub, model, params, tstops, ids)
+                        lambda th: batch_transient_loss(
+                            th, gather_batch(b, ids), model, params, tstops, ids
+                        )
                     )(theta)
                     updates, state = opt.update(grads, state, theta)
-                    return optax.apply_updates(theta, updates), state, val, grads
+                    return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
 
                 for it in range(epochs):
                     t_start = time.time()
                     ids = jnp.asarray(rng.choice(n_glaciers, size=bsize, replace=False))
-                    theta, state, val, grads = step_mb(theta, state, ids)
-                    _record(stats, float(val), theta, grads, time.time() - t_start)
+                    theta, state, val, gnorm = step_mb(theta, state, batch, ids)
+                    _record(stats, float(val), theta, float(gnorm), time.time() - t_start)
                     if callback is not None:
                         callback(stats)
                 continue
 
-            vg = jax.jit(_make_grad_fn(inversion, loss_fn)) if grad_name in ("jax", "sciml") else _make_grad_fn(inversion, loss_fn)
+            if grad_name in ("jax", "sciml"):
 
-            @jax.jit
-            def step(theta, state):
-                val, grads = vg(theta)
-                updates, state = opt.update(grads, state, theta)
-                return optax.apply_updates(theta, updates), state, val, grads
+                @jax.jit
+                def step(theta, state, b):
+                    val, grads = jax.value_and_grad(loss_fn_b)(theta, b)
+                    updates, state = opt.update(grads, state, theta)
+                    return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
+
+            else:
+                vg = _make_grad_fn(inversion, loss_fn)
+
+                @jax.jit
+                def step(theta, state, b):
+                    val, grads = vg(theta)
+                    updates, state = opt.update(grads, state, theta)
+                    return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
 
             for it in range(epochs):
                 t_start = time.time()
-                theta, state, val, grads = step(theta, state)
-                _record(stats, float(val), theta, grads, time.time() - t_start)
+                theta, state, val, gnorm = step(theta, state, batch)
+                _record(stats, float(val), theta, float(gnorm), time.time() - t_start)
                 if callback is not None:
                     callback(stats)
         elif opt_name in ("lbfgs", "bfgs"):
@@ -334,22 +350,32 @@ def train_ude(
                 linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20)
             )
             state = opt.init(theta)
-            vg_raw = _make_grad_fn(inversion, loss_fn)
-            value_fn = jax.jit(loss_fn) if grad_name in ("jax", "sciml") else loss_fn
-            vg = jax.jit(vg_raw) if grad_name in ("jax", "sciml") else vg_raw
+            if grad_name in ("jax", "sciml"):
 
-            @jax.jit
-            def lbfgs_step(theta, state, val, grads):
-                updates, state = opt.update(
-                    grads, state, theta, value=val, grad=grads, value_fn=loss_fn
-                )
-                return optax.apply_updates(theta, updates), state
+                @jax.jit
+                def lbfgs_step(theta, state, b):
+                    val, grads = jax.value_and_grad(loss_fn_b)(theta, b)
+                    updates, state = opt.update(
+                        grads, state, theta, value=val, grad=grads,
+                        value_fn=lambda th: loss_fn_b(th, b),
+                    )
+                    return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
+
+            else:
+                vg_raw = _make_grad_fn(inversion, loss_fn)
+
+                @jax.jit
+                def lbfgs_step(theta, state, b):
+                    val, grads = vg_raw(theta)
+                    updates, state = opt.update(
+                        grads, state, theta, value=val, grad=grads, value_fn=loss_fn
+                    )
+                    return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
 
             for it in range(epochs):
                 t_start = time.time()
-                val, grads = vg(theta)
-                theta, state = lbfgs_step(theta, state, val, grads)
-                _record(stats, float(val), theta, grads, time.time() - t_start)
+                theta, state, val, gnorm = lbfgs_step(theta, state, batch)
+                _record(stats, float(val), theta, float(gnorm), time.time() - t_start)
                 if callback is not None:
                     callback(stats)
         else:
@@ -373,7 +399,7 @@ def train_ude(
     return inversion.results
 
 
-def _record(stats: TrainingStats, val, theta, grads, dt):
+def _record(stats: TrainingStats, val, theta, gnorm, dt):
     stats.losses.append(val)
     stats.niter += 1
     stats.theta = theta
@@ -391,11 +417,6 @@ def _record(stats: TrainingStats, val, theta, grads, dt):
             "solver.rkc_stages (see suggest_substeps / rkc_stages_for), set "
             "SIA2DModel.max_D, or lower the learning rate."
         )
-    gnorm = float(
-        jnp.sqrt(
-            sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
-        )
-    )
     stats.grad_norm_hist.append(gnorm)
     stats.time_per_iter.append(dt)
     if gnorm > 1e7:
