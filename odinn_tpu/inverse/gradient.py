@@ -466,13 +466,16 @@ def make_adjoint_value_and_grad(inversion, flavor: str = "continuous") -> Callab
         quad_nodes = gauss_legendre_nodes(float(ts[0]), float(ts[-1]), adjoint.n_quadrature)
 
     @jax.jit
-    def vg(theta):
-        idxs = jnp.arange(batch.H0.shape[0])
+    def vg(theta, b=None):
+        # the batch rides through the jit boundary (closure-baked constants
+        # get re-shipped per call by remote-execution backends)
+        bb = batch if b is None else b
+        idxs = jnp.arange(bb.H0.shape[0])
         losses, grads = jax.vmap(
             lambda g, i: glacier_adjoint_value_and_grad(
                 theta, g, i, model, params, tstops, adjoint, quad_nodes
             )
-        )(batch, idxs)
+        )(bb, idxs)
         total = jnp.sum(losses)
         summed = jax.tree.map(lambda g: jnp.sum(g, axis=0), grads)
         return total, summed

@@ -335,7 +335,10 @@ def train_ude(
 
                 @jax.jit
                 def step(theta, state, b):
-                    val, grads = vg(theta)
+                    try:
+                        val, grads = vg(theta, b)
+                    except TypeError:
+                        val, grads = vg(theta)
                     updates, state = opt.update(grads, state, theta)
                     return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
 
@@ -366,7 +369,10 @@ def train_ude(
 
                 @jax.jit
                 def lbfgs_step(theta, state, b):
-                    val, grads = vg_raw(theta)
+                    try:
+                        val, grads = vg_raw(theta, b)
+                    except TypeError:
+                        val, grads = vg_raw(theta)
                     updates, state = opt.update(
                         grads, state, theta, value=val, grad=grads, value_fn=loss_fn
                     )
