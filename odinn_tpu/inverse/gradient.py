@@ -64,6 +64,45 @@ def gauss_legendre_nodes(t0, t1, n):
     return jnp.asarray(x), jnp.asarray(w)
 
 
+def _aggregate_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
+    """Build L_agg(traj, θ): the time-aggregated loss terms (LossDhdt/LossAvgV)
+    as one function of the whole saved trajectory — its vjp supplies the
+    per-tstop λ injections for the manual adjoints (the reference registers
+    these via discretePostIntegralLossSteps + bespoke backwards,
+    TimeAggregatedLosses.jl:56-377)."""
+    from odinn_tpu.simulation.inversion import _default_loss
+
+    loss_cfg = params.UDE.empirical_loss_function or _default_loss()
+    if not isinstance(loss_cfg, MultiLoss):
+        loss_cfg = MultiLoss(terms=(loss_cfg,), weights=(1.0,))
+    aggregate = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms)
+                 if term_kind(t_) == "aggregate"]
+    if not aggregate:
+        return None
+    npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
+
+    def agg_loss(traj, th):
+        outer = resolve_outer_values(model, th, glacier, glacier_idx, tstops[0])
+        vfn = make_values_fn(model, th, glacier, glacier_idx, tstops[0], outer)
+
+        def velocity_fn(h, t):
+            return v_from_h(h, glacier.B, glacier.dx, glacier.dy, vfn,
+                            model.target, params.physical)
+
+        ctx = LossContext(
+            velocity_fn=velocity_fn,
+            normalization=jnp.asarray(float(npix)),
+            theta=th, glacier_idx=glacier_idx, glacier=glacier,
+            dx=glacier.dx, dy=glacier.dy,
+        )
+        acc = jnp.asarray(0.0, traj.dtype)
+        for w, term in aggregate:
+            acc = acc + w * term(ctx, traj, tstops)
+        return acc
+
+    return agg_loss
+
+
 def _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
     """Build ℓ(H, θ, τ): the transient empirical loss at saved index τ
     (Δt-weighted as in the total loss). Returns a pure function for jax.vjp."""
@@ -72,13 +111,6 @@ def _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
     loss_cfg = params.UDE.empirical_loss_function or _default_loss()
     if not isinstance(loss_cfg, MultiLoss):
         loss_cfg = MultiLoss(terms=(loss_cfg,), weights=(1.0,))
-    aggregate = [t_ for t_ in loss_cfg.terms if term_kind(t_) == "aggregate"]
-    if aggregate:
-        raise NotImplementedError(
-            "time-aggregated loss terms (LossDhdt/LossAvgV) are not supported "
-            "on the manual adjoint paths yet; use UDE.grad='jax' (reverse-mode "
-            "AD through the solve) for those terms"
-        )
     transient = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms) if term_kind(t_) == "transient"]
     td = glacier.thickness_data
     vd = glacier.velocity_data
@@ -223,10 +255,24 @@ def glacier_adjoint_value_and_grad(
 
     zero_theta = jax.tree.map(jnp.zeros_like, theta)
 
+    # time-aggregated terms: one vjp over the whole trajectory gives the
+    # per-tstop λ injections + the direct θ cotangent
+    agg_fn = _aggregate_loss_fn(theta, glacier, glacier_idx, model, params, tstops)
+    agg_cot_traj = None
+    agg_dtheta = None
+    if agg_fn is not None:
+        agg_val, agg_pb = jax.vjp(agg_fn, traj, theta)
+        loss_val = loss_val + agg_val
+        agg_cot_traj, agg_dtheta = agg_pb(jnp.asarray(1.0, traj.dtype))
+
     def loss_cotangents(tau):
-        """(∂ℓ_τ/∂H, ∂ℓ_τ/∂θ) — backward_loss equivalents by exact vjp."""
+        """(∂ℓ_τ/∂H, ∂ℓ_τ/∂θ) — backward_loss equivalents by exact vjp,
+        plus the aggregated terms' trajectory cotangent at τ."""
         _, pb = jax.vjp(lambda H, th: loss_at(H, th, tau), traj[tau], theta)
-        return pb(jnp.asarray(1.0, traj.dtype))
+        dlH, dlth = pb(jnp.asarray(1.0, traj.dtype))
+        if agg_cot_traj is not None:
+            dlH = dlH + agg_cot_traj[tau]
+        return dlH, dlth
 
     def vjp_H(lam, H, t):
         return vjps.vjp_sia_dH(flavor, lam, H, theta, glacier, glacier_idx, model, params, t)
@@ -396,6 +442,11 @@ def glacier_adjoint_value_and_grad(
         dtheta = jax.tree.map(lambda acc, c: acc + jnp.sum(c, axis=0), dtheta, contributions)
     else:
         raise TypeError(f"unknown adjoint {adjoint!r}")
+
+    if agg_dtheta is not None:
+        dtheta = jax.tree.map(jnp.add, dtheta, agg_dtheta)
+        # trajectory cotangent at t₀ feeds the initial state
+        lam_final = lam_final + agg_cot_traj[0]
 
     # ------- initial-state loss terms (regularizations at t₀) -------
     # evaluated once and pulled back directly through θ (and, for the

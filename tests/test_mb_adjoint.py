@@ -148,16 +148,34 @@ def test_manual_adjoint_with_ic_and_regularization(mb_setup):
         assert np.linalg.norm(m - a) / denom < 1e-6, f"{k}: manual vs AD mismatch"
 
 
-def test_manual_adjoint_rejects_aggregate_terms(mb_setup):
+def test_manual_adjoint_with_aggregate_terms(mb_setup):
+    """Time-aggregated losses on the manual adjoint: the whole-trajectory
+    cotangent is injected per tstop; matches the AD gradient."""
+    import dataclasses
+
+    from odinn_tpu.core.glacier import DhdtData
+    from odinn_tpu.losses.losses import LossH, MultiLoss
     from odinn_tpu.losses.time_aggregated import LossDhdt
-    from odinn_tpu.losses.losses import MultiLoss
 
     params, inv, model, _ = mb_setup
+    tstops = build_tstops(TSPAN, params.solver.step)
+    g0 = [jax.tree.map(lambda x: x[0], inv.glaciers)][0]
+    td = g0.thickness_data
+    dhdt = (td.H[-1] - td.H[0]) / (tstops[-1] - tstops[0])
+    g0 = g0.replace(dhdt_data=DhdtData(t1=tstops[0], t2=tstops[-1], dhdt=dhdt))
+
+    loss = MultiLoss((LossH(), LossDhdt()), (1.0, 1.0))
     p2 = params.replace(
+        simulation=SimulationParameters(tspan=TSPAN, use_MB=False, use_velocities=False),
         UDE=UDEParameters(grad=DiscreteAdjoint(VJP_method=AutoVJP()),
-                          empirical_loss_function=MultiLoss((LossDhdt(),), (1.0,))),
+                          empirical_loss_function=loss),
     )
-    inv2 = Inversion(model=model, glaciers=inv.glaciers, parameters=p2, theta=inv.theta)
+    inv2 = Inversion(model=model, glaciers=[g0], parameters=p2, theta=inv.theta)
+    loss_fn = lambda th: batch_transient_loss(th, inv2.glaciers, model, p2, tstops)
+    g_ad = jax.grad(loss_fn)(inv.theta)
+
     vg = make_adjoint_value_and_grad(inv2, flavor="discrete")
-    with pytest.raises(NotImplementedError, match="aggregated"):
-        vg(inv.theta)
+    val, g_man = vg(inv.theta)
+    np.testing.assert_allclose(float(val), float(loss_fn(inv.theta)), rtol=1e-8)
+    rel = abs(float(g_man["A"][0] - g_ad["A"][0])) / abs(float(g_ad["A"][0]))
+    assert rel < 1e-6, f"aggregate-term manual adjoint vs AD rel {rel}"
