@@ -146,7 +146,11 @@ class UDEParameters:
 
     sensealg: str = "interpolating"           # kept for parity; unused by "jax" path
     optim_autoAD: str = "jax"
-    grad: Any = "continuous"                  # str name or AbstractAdjointMethod instance
+    # Default differs from the reference (ContinuousAdjoint,
+    # UDEparameters.jl:14-80): reverse-mode AD through the checkpointed solve
+    # is exact here, so it is the default; set "continuous"/"discrete" (or
+    # adjoint instances) for the manual paths.
+    grad: Any = "jax"
     optimization_method: str = "AD+AD"
     empirical_loss_function: Any = None       # AbstractLoss; default MultiLoss((LossH(),),(1.0,))
     target: str = "A"                         # "A" | "D_hybrid" | "D"
