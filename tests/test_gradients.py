@@ -121,3 +121,51 @@ def test_manual_adjoints_vs_fd(setup, adjoint, gates):
     assert ratio < r_gate, f"ratio {ratio:.3e} ≥ {r_gate}"
     assert angle < a_gate, f"angle {angle:.3e} ≥ {a_gate}"
     assert relerr < e_gate, f"relerr {relerr:.3e} ≥ {e_gate}"
+
+
+def test_gridded_A_gradient_masked_subset_vs_fd(setup):
+    """Large-θ gradient parity on a random masked subset of entries — the
+    reference's strategy for parameter vectors > 60 entries
+    (/root/reference/test/test_grad_loss.jl:291-350). Gridded per-glacier A:
+    2×31×31 = 1922 parameters, 24 probed."""
+    from odinn_tpu.laws.laws import LawA_inversion
+    from odinn_tpu.models.model import Model, SIA2DModel
+    from odinn_tpu.inverse.adjoint_types import AutoVJP, DiscreteAdjoint
+
+    inv, _, _ = setup
+    params = inv.parameters
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=False)))
+    inv2 = Inversion(model=model, glaciers=inv.glaciers, parameters=params)
+    theta = inv2.theta
+    assert theta["A"].size > 60
+
+    from odinn_tpu.simulation.inversion import assemble_tstops
+
+    tstops = assemble_tstops(params, inv2.glaciers)
+    loss_fn = jax.jit(
+        lambda th: batch_transient_loss(th, inv2.glaciers, model, params, tstops)
+    )
+    g_ad = jax.jit(jax.grad(loss_fn))(theta)
+
+    # random masked subset, biased to the glacier interior where A matters
+    rng = np.random.default_rng(0)
+    flat_g = np.asarray(g_ad["A"]).ravel()
+    candidates = np.argsort(-np.abs(flat_g))[:200]
+    subset = rng.choice(candidates, size=24, replace=False)
+
+    from grad_utils import fd_gradient, grad_metrics
+
+    g_fd = fd_gradient(loss_fn, {"A": theta["A"]}, eps=1e-6, indices=subset)
+    ratio, angle, relerr = grad_metrics(flat_g[subset], g_fd[subset])
+    assert relerr < 1e-5, f"gridded-A subset relerr {relerr:.2e}"
+    assert angle < 1e-8, f"gridded-A subset angle {angle:.2e}"
+
+    # manual adjoint agrees on the same subset
+    p2 = params.replace(UDE=UDEParameters(grad=DiscreteAdjoint(VJP_method=AutoVJP())))
+    inv3 = Inversion(model=model, glaciers=inv.glaciers, parameters=p2, theta=theta)
+    vg = make_adjoint_value_and_grad(inv3, flavor="discrete")
+    _, g_man = vg(theta)
+    rel = np.abs(np.asarray(g_man["A"]).ravel()[subset] - flat_g[subset]) / (
+        np.abs(flat_g[subset]) + 1e-30
+    )
+    assert rel.max() < 1e-8, f"manual vs AD gridded subset max rel {rel.max():.2e}"
