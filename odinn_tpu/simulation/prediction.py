@@ -82,13 +82,8 @@ def forward_glacier(
 
     periodic = model.iceflow.periodic_laws
     method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler", "RKC", "SI") else "RK4"
-    if method == "SI":
+    if method == "SI" and not periodic:
         # unconditionally stable semi-implicit path (no CFL sizing needed)
-        if periodic:
-            raise NotImplementedError(
-                "periodic laws with the semi-implicit solver are not wired yet; "
-                "use an explicit method (RK4/SSPRK3/RKC)"
-            )
         from odinn_tpu.simulation.implicit import integrate_semi_implicit
 
         return integrate_semi_implicit(
@@ -107,7 +102,7 @@ def forward_glacier(
     # each law's own cadence — the reference's PeriodicCallback law updates.
     from odinn_tpu.simulation.solver import get_stepper
 
-    step_fn = get_stepper(method, params.solver.rkc_stages)
+    step_fn = None if method == "SI" else get_stepper(method, params.solver.rkc_stages)
     substeps = params.solver.substeps
     cadences = {
         slot: max(int(round(law.callback_freq / params.solver.step)), 1)
@@ -132,8 +127,19 @@ def forward_glacier(
 
         dt = (t1i - t0i) / substeps
 
-        def sub(Hc, k):
-            return step_fn(rhs_i, Hc, t0i + k * dt, dt), None
+        if method == "SI":
+            from odinn_tpu.simulation.implicit import semi_implicit_step
+
+            def sub(Hc, k):
+                return semi_implicit_step(
+                    Hc, glacier.B, glacier.dx, glacier.dy, vfn_i, target, phys, dt,
+                    params.solver.cg_iters,
+                ), None
+
+        else:
+
+            def sub(Hc, k):
+                return step_fn(rhs_i, Hc, t0i + k * dt, dt), None
 
         H, _ = jax.lax.scan(sub, H, jnp.arange(substeps))
         if callback is not None:

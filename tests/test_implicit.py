@@ -109,3 +109,44 @@ def test_si_end_to_end_inversion():
     losses = results.stats.losses
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.3 * losses[0], f"{losses[0]} -> {losses[-1]}"
+
+
+def test_si_with_periodic_laws():
+    """Periodic laws ride the scan carry on the semi-implicit path too."""
+    import dataclasses
+
+    from odinn_tpu.data.synthetic import monthly_dummy_climate
+    from odinn_tpu.laws.laws import Law
+    from odinn_tpu.laws import inputs as law_inputs
+
+    clim = monthly_dummy_climate(5.0, 24, temp_mean=3.0, nx=32, ny=32)
+    g = halfar_glacier_with_climate(clim)
+    params = Parameters(
+        physical=PHYS,
+        simulation=SimulationParameters(tspan=(5.0, 5.5), use_MB=False,
+                                        use_velocities=False),
+        solver=SolverParameters(solver="SI", step=1.0 / 12.0, substeps=1, cg_iters=25),
+        UDE=UDEParameters(grad="jax"),
+    )
+    tstops = build_tstops((5.0, 5.5), params.solver.step)
+
+    def apply_fn(theta, inputs):
+        from odinn_tpu.ops.stencils import avg
+
+        return 1e-19 * jax.nn.sigmoid(avg(inputs["CPDD"]) / 200.0 - 2.0)
+
+    c_periodic = Law(slot="C", apply_fn=apply_fn,
+                     inputs=(law_inputs.CPDD(window=0.25),),
+                     callback_freq=2.0 / 12.0, trainable=False, name="pC")
+    c_frozen = dataclasses.replace(c_periodic, callback_freq=0.0)
+    m_p = Model(iceflow=SIA2DModel(A=ConstantA(A), C=c_periodic))
+    m_f = Model(iceflow=SIA2DModel(A=ConstantA(A), C=c_frozen))
+    tr_p = forward_glacier(None, g, 0, m_p, params, tstops)
+    tr_f = forward_glacier(None, g, 0, m_f, params, tstops)
+    assert np.isfinite(np.asarray(tr_p)).all()
+    assert float(jnp.abs(tr_p[-1] - tr_f[-1]).max()) > 0.0
+
+
+def halfar_glacier_with_climate(clim):
+    g = halfar_glacier(nx=32, ny=32, dx=130.0, temp=-15.0, A=A, climate=clim)
+    return g.replace(B=jnp.full_like(g.B, 1500.0))
