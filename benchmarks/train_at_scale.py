@@ -26,6 +26,7 @@ def main():
         simulation=SimulationParameters(tspan=(5.0, 7.0), use_MB=False,
                                         use_velocities=False, float_dtype="float32"),
         solver=SolverParameters(step=1 / 12, substeps=1, solver="SI", cg_iters=20),
+        # staged Adam; LBFGS linesearch is noisy in float32 at this scale
         hyper=Hyperparameters(optimizer=("adam", "adam"),
                               learning_rate=(0.05, 0.01), epochs=(60, 60)),
         UDE=UDEParameters(grad="jax", target="A"),
