@@ -188,12 +188,17 @@ from odinn_tpu.simulation.region_inversion import region_split_inversion
 
 
 def enable_multiprocessing(params=None, workers: Optional[int] = None):
-    """Compat shim for the reference's Distributed.jl bootstrap
-    (/root/reference/src/setup/config.jl:97-139): scale-out here is mesh
-    sharding, not worker processes. Returns the device mesh to shard over."""
+    """The reference's Distributed.jl bootstrap
+    (/root/reference/src/setup/config.jl:97-139), TPU-native: scale-out is
+    mesh sharding, not worker processes. Builds the device mesh AND registers
+    it as the session's active mesh, so subsequent ``run``/``train_ude`` calls
+    shard the glacier axis over it automatically — matching the reference's
+    "enable once, every run! scales" semantics. Returns the mesh."""
     import warnings
 
     import jax as _jax
+
+    from odinn_tpu.parallel.mesh import set_active_mesh
 
     n = workers or (params.simulation.workers if params is not None else None)
     n_dev = len(_jax.devices())
@@ -203,4 +208,4 @@ def enable_multiprocessing(params=None, workers: Optional[int] = None):
             "sharding over the available mesh"
         )
         n = n_dev
-    return make_mesh(n)
+    return set_active_mesh(make_mesh(n))

@@ -93,6 +93,9 @@ class ContinuousAdjoint:
     MB_VJP: Any = field(default_factory=AutoVJP)
     n_quadrature: int = 60
     substeps: int = 10      # reverse-ODE substeps per saved interval
+    rtol: float = 1e-6      # reverse λ-solve relative tolerance (AdjointTypes.jl:45)
+    atol: float = 1e-8      # reverse λ-solve absolute tolerance (AdjointTypes.jl:46)
+    dtmax: Optional[float] = None   # max reverse step; None = interval length
     name: str = "continuous"
 
 

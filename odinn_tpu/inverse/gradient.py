@@ -235,6 +235,125 @@ def _ssprk3_transpose(lam, H0, dt, t, rhs, vjp_H, vjp_theta, dtheta):
     return lam0, dtheta
 
 
+def _make_rkc_transpose(s: int):
+    """Exact transpose of the s-stage RKC2 step (stages rematerialized).
+
+    Forward recurrence (solver.make_rkc2_step):
+        y₁ = y + μ̃₁·dt·f₀,   f₀ = f(y, t)
+        yⱼ = (1−μⱼ−νⱼ)·y + μⱼ·yⱼ₋₁ + νⱼ·yⱼ₋₂ + μ̃ⱼ·dt·f(yⱼ₋₁) + γ̃ⱼ·dt·f₀
+    The transpose walks the stage graph backwards: the cotangent on yⱼ₋₁
+    collects the μⱼ route, the f-pullback route (ξⱼ = μ̃ⱼ·dt·cⱼ through
+    vjp_H), and the pending νⱼ₊₁ route from two stages up; f₀'s cotangent
+    accumulates all γ̃ⱼ routes plus μ̃₁ and is pulled back once at the end.
+    Same stage-level-transpose recipe as :func:`_rk4_transpose`, covering the
+    production stabilized solver (reference hand-adjoints only its default
+    path, /root/reference/src/inverse/SIA2D/gradient.jl:191-253).
+    """
+    from odinn_tpu.simulation.solver import _rkc2_coeffs
+
+    _, _, mu1_t, mu, nu, mu_t, gam_t, c = _rkc2_coeffs(s)
+    mu, nu = jnp.asarray(mu), jnp.asarray(nu)
+    mu_t, gam_t, c = jnp.asarray(mu_t), jnp.asarray(gam_t), jnp.asarray(c)
+
+    def transpose(lam, H0, dt, t, rhs, vjp_H, vjp_theta, dtheta):
+        f0 = rhs(H0, t)
+        y1 = H0 + mu1_t * dt * f0
+
+        def stage_fwd(carry, j):
+            y_jm1, y_jm2 = carry
+            f_j = rhs(y_jm1, t + c[j - 1] * dt)
+            y_j = (
+                (1.0 - mu[j] - nu[j]) * H0
+                + mu[j] * y_jm1
+                + nu[j] * y_jm2
+                + mu_t[j] * dt * f_j
+                + gam_t[j] * dt * f0
+            )
+            return (y_j, y_jm1), y_jm1
+
+        _, y_inputs = jax.lax.scan(stage_fwd, (y1, H0), jnp.arange(2, s + 1))
+        # y_inputs[j-2] = y_{j-1}, the state f sees at stage j (j = 2..s)
+
+        zero = jnp.zeros_like(lam)
+
+        def stage_rev(carry, j):
+            c_j, pend, cot_y, cot_f0, dth = carry
+            tj = t + c[j - 1] * dt
+            cot_y = cot_y + (1.0 - mu[j] - nu[j]) * c_j
+            cot_f0 = cot_f0 + gam_t[j] * dt * c_j
+            xi = mu_t[j] * dt * c_j
+            y_jm1 = y_inputs[j - 2]
+            g = vjp_H(xi, y_jm1, tj)
+            dth = jax.tree.map(jnp.add, dth, vjp_theta(xi, y_jm1, tj))
+            # pend carries the ν route into y_{j-2}, finalized two stages later
+            return (pend + mu[j] * c_j + g, nu[j] * c_j, cot_y, cot_f0, dth), None
+
+        (c1, pend0, cot_y, cot_f0, dtheta), _ = jax.lax.scan(
+            stage_rev, (lam, zero, zero, zero, dtheta), jnp.arange(s, 1, -1)
+        )
+        # y₁ node (pend0 is ν₂'s route straight into y₀ = H0)
+        cot_y = cot_y + c1 + pend0
+        cot_f0 = cot_f0 + mu1_t * dt * c1
+        cot_y = cot_y + vjp_H(cot_f0, H0, t)
+        dtheta = jax.tree.map(jnp.add, dtheta, vjp_theta(cot_f0, H0, t))
+        return cot_y, dtheta
+
+    return transpose
+
+
+def _make_si_transpose(theta, glacier, glacier_idx, model, params):
+    """Exact transpose of one semi-implicit step (implicit-function theorem).
+
+    Forward (simulation.implicit.semi_implicit_step): freeze D = D(H, θ),
+    solve the SPD system A(D)·w = b(H, D) by CG, return relu(w). The
+    transpose solves A·μ = λ′ with the *same* frozen operator (A symmetric,
+    so the adjoint solve is another CG — mirroring lax.custom_linear_solve's
+    rule), then routes μ into (H, θ) through b's explicit H term and through
+    the D-dependence of both A and b (one exact pullback of the linear
+    ∇·(D∇·) stencil and of the diffusivity chain — the same
+    exact-pullback-over-cache design as inverse.vjps.vjp_sia_dtheta).
+    """
+    from odinn_tpu.simulation.implicit import _cg, _div_flux, _frozen_diffusivity
+
+    B, dx, dy = glacier.B, glacier.dx, glacier.dy
+    target, phys = model.target, params.physical
+    cg_iters = params.solver.cg_iters
+
+    def transpose(lam, H0, dt, t, dtheta):
+        def d_of(H, th):
+            outer = resolve_outer_values(model, th, glacier, glacier_idx, t)
+            vfn = make_values_fn(model, th, glacier, glacier_idx, t, outer)
+            return _frozen_diffusivity(H, B, dx, dy, vfn, target, phys)
+
+        D, d_pb = jax.vjp(d_of, H0, theta)
+        interior = jnp.zeros_like(H0).at[..., 1:-1, 1:-1].set(1.0)
+        ring = 1.0 - interior
+
+        def matvec(u):
+            return u - dt * interior * _div_flux(interior * u, D, dx, dy)
+
+        b = H0 + dt * interior * _div_flux(B + ring * H0, D, dx, dy)
+        w = _cg(matvec, b, H0, cg_iters)            # rematerialized pre-relu state
+        lam_r = lam * (w > 0.0)                      # relu_strict pullback
+        mu = _cg(matvec, lam_r, lam_r, cg_iters)     # adjoint solve, same SPD op
+        w_in = interior * w
+
+        def b_minus_Aw(H_, Dv):
+            # the (H, D)-dependent parts of b(H,D) − A(D)·w at fixed w; its
+            # pullback at μ is ⟨μ, db − dA·w⟩, the IFT parameter cotangent
+            return H_ + dt * interior * (
+                _div_flux(B + ring * H_, Dv, dx, dy) + _div_flux(w_in, Dv, dx, dy)
+            )
+
+        _, pb_lin = jax.vjp(b_minus_Aw, H0, D)
+        dH_lin, cot_D = pb_lin(mu)
+        dH_d, dth = d_pb(cot_D)
+        dtheta = jax.tree.map(jnp.add, dtheta, dth)
+        return dH_lin + dH_d, dtheta
+
+    return transpose
+
+
 def glacier_adjoint_value_and_grad(
     theta, glacier, glacier_idx, model, params, tstops, adjoint, quad_nodes=None
 ):
@@ -294,15 +413,26 @@ def glacier_adjoint_value_and_grad(
         return jax.lax.cond(j % k_mb == 0, apply, lambda l: l, lam)
 
     if isinstance(adjoint, DiscreteAdjoint):
-        if params.solver.solver in ("RKC", "SI"):
-            raise NotImplementedError(
-                "DiscreteAdjoint transposes the explicit RK substep forward "
-                "(RK4/SSPRK3/Euler); for solver='RKC' or 'SI' use "
-                "UDE.grad='jax' (reverse-mode AD differentiates both, the SI "
-                "solve implicitly via custom_linear_solve) or ContinuousAdjoint"
-            )
         substeps = adjoint.substeps or params.solver.substeps
-        method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler") else "RK4"
+        known = ("RK4", "SSPRK3", "Euler", "RKC", "SI")
+        method = params.solver.solver if params.solver.solver in known else "RK4"
+        if method == "RKC":
+            from odinn_tpu.simulation.solver import make_rkc2_step
+
+            rkc_step = make_rkc2_step(params.solver.rkc_stages)
+            rkc_transpose = _make_rkc_transpose(params.solver.rkc_stages)
+        elif method == "SI":
+            from odinn_tpu.simulation.implicit import semi_implicit_step
+
+            si_transpose = _make_si_transpose(theta, glacier, glacier_idx, model, params)
+
+            def si_step(H, t, dt):
+                outer = resolve_outer_values(model, theta, glacier, glacier_idx, t)
+                vfn = make_values_fn(model, theta, glacier, glacier_idx, t, outer)
+                return semi_implicit_step(
+                    H, glacier.B, glacier.dx, glacier.dy, vfn, model.target,
+                    params.physical, dt, params.solver.cg_iters,
+                )
 
         def interval_reverse(carry, j):
             lam, dtheta = carry
@@ -326,6 +456,10 @@ def glacier_adjoint_value_and_grad(
                     from odinn_tpu.simulation.solver import ssprk3_step
 
                     Hn = ssprk3_step(rhs, H, t, dt)
+                elif method == "RKC":
+                    Hn = rkc_step(rhs, H, t, dt)
+                elif method == "SI":
+                    Hn = si_step(H, t, dt)
                 else:
                     Hn = H + dt * rhs(H, t)
                 return Hn, H
@@ -341,6 +475,10 @@ def glacier_adjoint_value_and_grad(
                     lam, dtheta = _rk4_transpose(lam, H0, dt, t, rhs, vjp_H, vjp_theta, dtheta)
                 elif method == "SSPRK3":
                     lam, dtheta = _ssprk3_transpose(lam, H0, dt, t, rhs, vjp_H, vjp_theta, dtheta)
+                elif method == "RKC":
+                    lam, dtheta = rkc_transpose(lam, H0, dt, t, rhs, vjp_H, vjp_theta, dtheta)
+                elif method == "SI":
+                    lam, dtheta = si_transpose(lam, H0, dt, t, dtheta)
                 else:
                     lam, dtheta = _euler_transpose(lam, H0, dt, t, vjp_H, vjp_theta, dtheta)
                 return (lam, dtheta), None
@@ -368,7 +506,8 @@ def glacier_adjoint_value_and_grad(
 
         from odinn_tpu.simulation.solver import _bs32_step
 
-        rtol, atol = 1e-6, 1e-8
+        rtol, atol = adjoint.rtol, adjoint.atol
+        dtmax = jnp.inf if adjoint.dtmax is None else adjoint.dtmax
         max_inner = 10_000
 
         def err_norm(err, a, b):
@@ -392,7 +531,7 @@ def glacier_adjoint_value_and_grad(
 
             def bodyf(state):
                 lam, tau, dt, k1, it = state
-                dt_eff = jnp.minimum(dt, tau1 - tau)
+                dt_eff = jnp.minimum(jnp.minimum(dt, dtmax), tau1 - tau)
                 lam3, err, k4 = _bs32_step(lam_rhs_rev, lam, tau, dt_eff, k1)
                 en = err_norm(err, lam, lam3)
                 accept = en <= 1.0
@@ -517,11 +656,13 @@ def make_adjoint_value_and_grad(inversion, flavor: str = "continuous") -> Callab
         quad_nodes = gauss_legendre_nodes(float(ts[0]), float(ts[-1]), adjoint.n_quadrature)
 
     @jax.jit
-    def vg(theta, b=None):
+    def vg(theta, b=None, ids=None):
         # the batch rides through the jit boundary (closure-baked constants
-        # get re-shipped per call by remote-execution backends)
+        # get re-shipped per call by remote-execution backends); ``ids``
+        # carries original glacier indices when ``b`` is a gathered minibatch
+        # so per-glacier θ entries resolve correctly
         bb = batch if b is None else b
-        idxs = jnp.arange(bb.H0.shape[0])
+        idxs = ids if ids is not None else jnp.arange(bb.H0.shape[0])
         losses, grads = jax.vmap(
             lambda g, i: glacier_adjoint_value_and_grad(
                 theta, g, i, model, params, tstops, adjoint, quad_nodes

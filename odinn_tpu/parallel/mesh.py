@@ -28,9 +28,35 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_glacier_axis", "replicate", "shard_theta", "pad_batch_to"]
+__all__ = [
+    "make_mesh",
+    "shard_glacier_axis",
+    "replicate",
+    "shard_theta",
+    "pad_batch_to",
+    "shard_inversion",
+    "set_active_mesh",
+    "active_mesh",
+]
 
 GLACIER_AXIS = "glaciers"
+
+# session-level mesh registered by api.enable_multiprocessing and consumed by
+# train_ude — the automatic scale-out the reference gets from its Distributed
+# bootstrap (/root/reference/src/setup/config.jl:97-139)
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Register (or clear, with None) the session's scale-out mesh."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    return mesh
+
+
+def active_mesh() -> Optional[Mesh]:
+    """The mesh registered by :func:`set_active_mesh`, if any."""
+    return _ACTIVE_MESH
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = GLACIER_AXIS) -> Mesh:
@@ -97,38 +123,37 @@ def make_shard_map_value_and_grad(model, params, tstops, mesh: Mesh,
     shard, glaciers and sharded per-glacier θ rows correspond 1:1, so
     glacier indexing is shard-local.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from odinn_tpu.simulation.inversion import batch_transient_loss
 
     n_dev = mesh.shape[axis_name]
 
-    def local_value_and_grad(theta, batch_shard):
-        import jax.numpy as _jnp
+    def make_local_value_and_grad(theta_specs):
+        def local_value_and_grad(theta, batch_shard):
+            import jax.numpy as _jnp
 
-        local_ids = _jnp.arange(batch_shard.H0.shape[0])
+            local_ids = _jnp.arange(batch_shard.H0.shape[0])
 
-        def local_loss(th):
-            return batch_transient_loss(th, batch_shard, model, params, tstops,
-                                        glacier_ids=local_ids)
+            def local_loss(th):
+                return batch_transient_loss(th, batch_shard, model, params, tstops,
+                                            glacier_ids=local_ids)
 
-        val, grads = jax.value_and_grad(local_loss)(theta)
-        val = jax.lax.psum(val, axis_name)
-        n_local = batch_shard.H0.shape[0]
+            val, grads = jax.value_and_grad(local_loss)(theta)
+            val = jax.lax.psum(val, axis_name)
+            # reduce exactly per the input placement: sharded per-glacier θ
+            # rows keep their local gradient (no collective), replicated θ
+            # gets the all-reduce. Deciding by local shapes instead is wrong —
+            # with one glacier per shard, any NN weight with leading dim 1
+            # under a per-glacier slot key would silently skip the psum.
+            grads = jax.tree.map(
+                lambda g, spec: g if spec == P(axis_name) else jax.lax.psum(g, axis_name),
+                grads,
+                theta_specs,
+            )
+            return val, grads
 
-        def reduce_grad(path, g):
-            key = path[0].key if path else None
-            if (
-                key in per_glacier_keys
-                and hasattr(g, "ndim")
-                and g.ndim >= 1
-                and g.shape[0] == n_local
-            ):
-                return g          # per-glacier: stays sharded, no collective
-            return jax.lax.psum(g, axis_name)
-
-        grads = jax.tree_util.tree_map_with_path(reduce_grad, grads)
-        return val, grads
+        return local_value_and_grad
 
     def specs_for_theta(theta, n_g):
         def spec(path, x):
@@ -159,11 +184,11 @@ def make_shard_map_value_and_grad(model, params, tstops, mesh: Mesh,
     def value_and_grad(theta, batch):
         theta_specs = specs_for_theta(theta, batch.H0.shape[0])
         return shard_map(
-            local_value_and_grad,
+            make_local_value_and_grad(theta_specs),
             mesh=mesh,
             in_specs=(theta_specs, batch_specs(batch)),
             out_specs=(P(), theta_specs),
-            check_rep=False,
+            check_vma=False,
         )(theta, batch)
 
     return value_and_grad
@@ -215,3 +240,17 @@ def pad_batch_to(batch, n: int):
         )
     padded = padded.replace(mask=padded.mask.at[b:].set(0.0))
     return padded, b
+
+
+def shard_inversion(theta, batch, mesh: Mesh, axis_name: str = GLACIER_AXIS):
+    """Place an inversion's (θ, glacier batch) on the mesh for training.
+
+    Pads the glacier axis to a mesh multiple (padded lanes carry zeroed
+    observations, so they contribute exactly zero loss/gradient), shards the
+    batch along the glacier axis, and shards per-glacier θ entries while
+    replicating shared θ. Returns ``(theta, batch, n_original)``.
+    """
+    batch, n_orig = pad_batch_to(batch, mesh.shape[axis_name])
+    batch = shard_glacier_axis(batch, mesh, axis_name)
+    theta = shard_theta(theta, mesh, axis_name=axis_name)
+    return theta, batch, n_orig

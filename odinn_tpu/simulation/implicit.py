@@ -81,21 +81,39 @@ def _cg(matvec, b, x0, iters: int):
 
 
 def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int = 30):
-    """One semi-implicit step of length dt (unconditionally stable)."""
+    """One semi-implicit step of length dt (unconditionally stable).
+
+    The operator masks its input to the interior as well as its output
+    (A = I − dt·M·L·M with M the interior mask), so A is genuinely symmetric
+    — block-diagonal over {ring, interior} with an SPD interior block. The
+    Dirichlet ring data (the fixed border of H) enters through the right-hand
+    side instead: b = H + dt·M·∇·(D∇(B + ring·H)). Folding the ring coupling
+    into A's off-diagonal (as a naive "identity ring rows" operator does)
+    silently breaks ``symmetric=True``: the transpose solve then drops the
+    sensitivity of the interior solution to the boundary thickness, corrupting
+    reverse-mode gradients while forward solves and jvps stay correct.
+    """
     D = _frozen_diffusivity(H, B, dx, dy, values_fn, target, phys)
     # the operator must not see gradients through D's frozen value here;
     # custom_linear_solve closes over D and differentiates it via the
     # product-rule term of the implicit function theorem automatically
     interior = jnp.zeros_like(H).at[..., 1:-1, 1:-1].set(1.0)
+    ring = 1.0 - interior
 
     def matvec(u):
-        # ring rows act as identity (Dirichlet-fixed boundary)
-        return u - dt * interior * _div_flux(u, D, dx, dy)
+        return u - dt * interior * _div_flux(interior * u, D, dx, dy)
 
-    b = H + dt * interior * _div_flux(B, D, dx, dy)
+    b = H + dt * interior * _div_flux(B + ring * H, D, dx, dy)
 
+    # forward CG warm-starts at H (the solution is an O(dt) perturbation of
+    # it); the transpose solve's solution is cotangent-sized, so it must NOT
+    # start at H — warm-start at the rhs itself (A = I − dt·L ⇒ x ≈ rhs)
     H_new = lax.custom_linear_solve(
-        matvec, b, solve=lambda mv, rhs: _cg(mv, rhs, H, cg_iters), symmetric=True
+        matvec,
+        b,
+        solve=lambda mv, rhs: _cg(mv, rhs, H, cg_iters),
+        transpose_solve=lambda mv, rhs: _cg(mv, rhs, rhs, cg_iters),
+        symmetric=True,
     )
     return st.relu_strict(H_new)
 

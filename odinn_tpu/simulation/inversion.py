@@ -231,17 +231,26 @@ def _stages(hyper) -> Sequence[Tuple[str, float, int]]:
     return list(zip(opts, lrs, eps))
 
 
-def _make_grad_fn(inversion: Inversion, loss_fn):
-    """Gradient path dispatch on params.UDE.grad (AdjointTypes equivalent)."""
+def _make_grad_fn(inversion: Inversion, loss_fn_b):
+    """Gradient path dispatch on params.UDE.grad (AdjointTypes equivalent).
+
+    Every path returns ``vg(theta, b, ids=None) -> (loss, grads)`` with the
+    glacier (mini)batch ``b`` as an explicit argument — so it rides through
+    jit boundaries instead of becoming a closure-baked constant — and ``ids``
+    carrying original glacier indices under minibatching.
+    """
     grad_cfg = inversion.parameters.UDE.grad
     name = grad_cfg if isinstance(grad_cfg, str) else getattr(grad_cfg, "name", "jax")
     if name in ("jax", "sciml"):
-        return jax.value_and_grad(loss_fn)
+        def vg(theta, b, ids=None):
+            return jax.value_and_grad(loss_fn_b)(theta, b, ids)
+
+        return vg
     if name == "dummy":
         # DummyAdjoint (/root/reference/src/inverse/AdjointTypes.jl:80-107):
         # pipeline testing with a random (or user-supplied) gradient.
-        def vg(theta):
-            val = loss_fn(theta)
+        def vg(theta, b, ids=None):
+            val = loss_fn_b(theta, b, ids)
             leaves, treedef = jax.tree.flatten(theta)
             key = jax.random.PRNGKey(0)
             keys = jax.random.split(key, len(leaves))
@@ -260,6 +269,7 @@ def train_ude(
     inversion: Inversion,
     callback: Optional[Callable] = None,
     record_theta_hist: bool = False,
+    mesh=None,
 ) -> Results:
     """Staged training loop (``train_UDE!`` equivalent).
 
@@ -268,30 +278,48 @@ def train_ude(
     inversion_utils.jl:112-238). θ warm-starts across stages.
     ``record_theta_hist`` keeps θ per iteration (TrainingStats.θ_hist,
     Results.jl:19-68) — off by default to bound host memory.
+
+    Scale-out: pass ``mesh`` (or call ``api.enable_multiprocessing`` first to
+    register one) and the glacier batch is sharded along the mesh's glacier
+    axis, θ replicated (per-glacier θ entries sharded), and every jitted step
+    runs SPMD with XLA inserting the psum over ICI for the shared-θ gradient —
+    the reference's automatic Distributed scale-out
+    (/root/reference/src/setup/config.jl:97-139), mesh-native.
     """
     params = inversion.parameters
     model = inversion.model
     batch = inversion.glaciers
     tstops = assemble_tstops(params, batch)
+    theta = inversion.theta
+    orig_batch = batch
+    n_results = batch.H0.shape[0]
 
-    def loss_fn(theta):
-        return batch_transient_loss(theta, batch, model, params, tstops)
+    from odinn_tpu.parallel.mesh import active_mesh, shard_inversion
 
-    # loss with the batch as an explicit argument: closed-over device arrays
-    # become baked constants, which remote-execution backends may re-ship per
-    # call — pass the (large) glacier batch through the jit boundary instead
-    def loss_fn_b(theta, b):
-        return batch_transient_loss(theta, b, model, params, tstops)
+    if mesh is None:
+        mesh = active_mesh()
+    use_mesh = mesh is not None and mesh.size > 1
+    if use_mesh:
+        theta, batch, n_results = shard_inversion(theta, batch, mesh)
+
+    # the (mini)batch is an explicit argument everywhere: closed-over device
+    # arrays become baked constants, which remote-execution backends may
+    # re-ship per call — pass large pytrees through the jit boundary instead
+    def loss_fn_b(theta, b, ids=None):
+        return batch_transient_loss(theta, b, model, params, tstops, ids)
 
     stats = TrainingStats()
     stats._record_theta_hist = record_theta_hist
-    theta = inversion.theta
-    grad_cfg = params.UDE.grad
-    grad_name = grad_cfg if isinstance(grad_cfg, str) else getattr(grad_cfg, "name", "jax")
+    vg = _make_grad_fn(inversion, loss_fn_b)
 
     n_glaciers = batch.H0.shape[0]
     bsize = min(params.hyper.batch_size, n_glaciers)
     minibatching = 0 < bsize < n_glaciers
+    if minibatching and use_mesh and bsize % mesh.size != 0:
+        raise ValueError(
+            f"hyper.batch_size={bsize} must be a multiple of the mesh size "
+            f"{mesh.size} when training on a mesh (glacier-axis sharding)"
+        )
     rng = np.random.default_rng(0)
 
     for opt_name, lr, epochs in _stages(params.hyper):
@@ -300,16 +328,12 @@ def train_ude(
             opt = optax.adam(lr) if opt_name == "adam" else optax.adamw(lr)
             state = opt.init(theta)
 
-            if minibatching and grad_name in ("jax", "sciml"):
+            if minibatching:
                 # glacier minibatching (Hyperparameters.batch_size; the
                 # reference's DataLoader loop, ML_utils.jl:190-200)
                 @jax.jit
                 def step_mb(theta, state, b, ids):
-                    val, grads = jax.value_and_grad(
-                        lambda th: batch_transient_loss(
-                            th, gather_batch(b, ids), model, params, tstops, ids
-                        )
-                    )(theta)
+                    val, grads = vg(theta, gather_batch(b, ids), ids)
                     updates, state = opt.update(grads, state, theta)
                     return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
 
@@ -322,25 +346,11 @@ def train_ude(
                         callback(stats)
                 continue
 
-            if grad_name in ("jax", "sciml"):
-
-                @jax.jit
-                def step(theta, state, b):
-                    val, grads = jax.value_and_grad(loss_fn_b)(theta, b)
-                    updates, state = opt.update(grads, state, theta)
-                    return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
-
-            else:
-                vg = _make_grad_fn(inversion, loss_fn)
-
-                @jax.jit
-                def step(theta, state, b):
-                    try:
-                        val, grads = vg(theta, b)
-                    except TypeError:
-                        val, grads = vg(theta)
-                    updates, state = opt.update(grads, state, theta)
-                    return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
+            @jax.jit
+            def step(theta, state, b):
+                val, grads = vg(theta, b)
+                updates, state = opt.update(grads, state, theta)
+                return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
 
             for it in range(epochs):
                 t_start = time.time()
@@ -353,30 +363,15 @@ def train_ude(
                 linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20)
             )
             state = opt.init(theta)
-            if grad_name in ("jax", "sciml"):
 
-                @jax.jit
-                def lbfgs_step(theta, state, b):
-                    val, grads = jax.value_and_grad(loss_fn_b)(theta, b)
-                    updates, state = opt.update(
-                        grads, state, theta, value=val, grad=grads,
-                        value_fn=lambda th: loss_fn_b(th, b),
-                    )
-                    return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
-
-            else:
-                vg_raw = _make_grad_fn(inversion, loss_fn)
-
-                @jax.jit
-                def lbfgs_step(theta, state, b):
-                    try:
-                        val, grads = vg_raw(theta, b)
-                    except TypeError:
-                        val, grads = vg_raw(theta)
-                    updates, state = opt.update(
-                        grads, state, theta, value=val, grad=grads, value_fn=loss_fn
-                    )
-                    return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
+            @jax.jit
+            def lbfgs_step(theta, state, b):
+                val, grads = vg(theta, b)
+                updates, state = opt.update(
+                    grads, state, theta, value=val, grad=grads,
+                    value_fn=lambda th: loss_fn_b(th, b),
+                )
+                return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
 
             for it in range(epochs):
                 t_start = time.time()
@@ -394,13 +389,15 @@ def train_ude(
     inversion.theta = theta
 
     # final forward with trained θ stored as simulation results
-    # (reference `create_results` after training, inversion_utils.jl:255-267)
+    # (reference `create_results` after training, inversion_utils.jl:255-267);
+    # padded mesh lanes are sliced off before results assembly
     from odinn_tpu.simulation.prediction import forward_batch
     from odinn_tpu.simulation.results import create_results
 
     trajs = jax.jit(lambda th, b: forward_batch(th, b, model, params, tstops))(theta, batch)
+    trajs = trajs[:n_results]
     inversion.results = Results(
-        simulation=create_results(trajs, tstops, glaciers=batch), stats=stats
+        simulation=create_results(trajs, tstops, glaciers=orig_batch), stats=stats
     )
     return inversion.results
 

@@ -234,26 +234,75 @@ def generate_ground_truth(
     glaciers (Huginn.generate_ground_truth equivalent; usage
     /root/reference/test/test_grad_loss.jl:170-177).
 
-    Returns new Glacier objects with ``thickness_data`` / ``velocity_data``
+    ``store`` entries:
+      - ``"H"``    — thickness time series at every tstop
+      - ``"V"``    — velocity time series at every tstop
+      - ``"dhdt"`` — mean thickness-change rate over the full span, as
+                     consumed by LossDhdt (the reference generates these
+                     aggregated-loss observations directly,
+                     test_grad_loss.jl:170-177)
+      - ``"avgV"`` — Δt-weighted average surface speed over the span as one
+                     annual velocity product, as consumed by LossAvgV
+
+    ``"V"`` and ``"avgV"`` both populate ``velocity_data`` and are mutually
+    exclusive. Returns new Glacier objects with the observation payloads
     attached (immutably — the reference mutates its glacier structs).
     """
+    if "V" in store and "avgV" in store:
+        raise ValueError(
+            'store cannot contain both "V" and "avgV": they populate the '
+            "same velocity_data slot (time series vs annual product)"
+        )
+    need_velocities = ("V" in store) or ("avgV" in store)
+    if need_velocities and not params.simulation.use_velocities:
+        params = params.replace(
+            simulation=dataclasses.replace(params.simulation, use_velocities=True)
+        )
     pred = Prediction(model=model, glaciers=list(glaciers), parameters=params, theta=theta)
     results = run_prediction(pred, tstops=jnp.asarray(tstops))
+    t = results["t"]
     out = []
     for i, g in enumerate(glaciers):
         nx, ny = g.nx, g.ny
         gi = g
         if "H" in store:
             gi = gi.replace(
-                thickness_data=ThicknessData(t=results["t"], H=results["H"][i, :, :nx, :ny])
+                thickness_data=ThicknessData(t=t, H=results["H"][i, :, :nx, :ny])
             )
         if "V" in store and "V" in results:
             gi = gi.replace(
                 velocity_data=SurfaceVelocityData(
-                    t=results["t"],
+                    t=t,
                     vx=results["Vx"][i, :, :nx, :ny],
                     vy=results["Vy"][i, :, :nx, :ny],
                     vabs=results["V"][i, :, :nx, :ny],
+                )
+            )
+        if "dhdt" in store:
+            from odinn_tpu.core.glacier import DhdtData
+
+            H_traj = results["H"][i, :, :nx, :ny]
+            t1, t2 = t[0], t[-1]
+            gi = gi.replace(
+                dhdt_data=DhdtData(t1=t1, t2=t2, dhdt=(H_traj[-1] - H_traj[0]) / (t2 - t1))
+            )
+        if "avgV" in store and "V" in results:
+            # Δt-weighted mean of the per-tstop speeds — exactly LossAvgV's
+            # forward aggregation (TimeAggregatedLosses.jl:171-377)
+            dts = jnp.diff(t)
+            w = dts / jnp.sum(dts)
+
+            def wavg(f):
+                return jnp.tensordot(w, f[1:], axes=1)
+
+            gi = gi.replace(
+                velocity_data=SurfaceVelocityData(
+                    t=t[-1:],
+                    vx=wavg(results["Vx"][i, :, :nx, :ny])[None],
+                    vy=wavg(results["Vy"][i, :, :nx, :ny])[None],
+                    vabs=wavg(results["V"][i, :, :nx, :ny])[None],
+                    date1=t[0],
+                    date2=t[-1],
                 )
             )
         out.append(gi)

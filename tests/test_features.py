@@ -138,25 +138,25 @@ def test_synthetic_c_law_in_rhs():
 
 
 def test_time_aggregated_losses_inversion(gt):
-    """LossDhdt + LossAvgV drive gradients (TimeAggregatedLosses rows)."""
-    import dataclasses
-
-    from odinn_tpu.core.glacier import DhdtData
-
+    """LossDhdt + LossAvgV drive gradients (TimeAggregatedLosses rows), with
+    the observations produced by ``generate_ground_truth(store=("dhdt",
+    "avgV"))`` — the reference generates aggregated-loss observations directly
+    (test_grad_loss.jl:170-177)."""
     params, glaciers, tstops = gt
-    glaciers2 = []
-    for g in glaciers:
+    truth = Model(iceflow=SIA2DModel(A=ConstantA(A_TRUE)))
+    glaciers2 = generate_ground_truth(
+        glaciers, params, truth, tstops, store=("dhdt", "avgV")
+    )
+    for g, g2 in zip(glaciers, glaciers2):
+        # stored dhdt must equal the rate from the stored thickness series
         td = g.thickness_data
-        dhdt = (td.H[-1] - td.H[0]) / (tstops[-1] - tstops[0])
-        vd = dataclasses.replace(
-            g.velocity_data, date1=jnp.asarray(tstops[0]), date2=jnp.asarray(tstops[-1])
+        np.testing.assert_allclose(
+            np.asarray(g2.dhdt_data.dhdt),
+            np.asarray((td.H[-1] - td.H[0]) / (tstops[-1] - tstops[0])),
+            rtol=1e-10,
         )
-        glaciers2.append(
-            g.replace(
-                dhdt_data=DhdtData(t1=tstops[0], t2=tstops[-1], dhdt=dhdt),
-                velocity_data=vd,
-            )
-        )
+        assert g2.velocity_data.vabs.shape[0] == 1      # one annual product
+        assert float(g2.velocity_data.date2) == float(tstops[-1])
     loss = MultiLoss((LossDhdt(), LossAvgV()), (1.0, 1.0))
     params = make_params(loss=loss, use_velocities=True)
     model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
@@ -186,6 +186,28 @@ def test_minibatching(gt):
     results = run_inversion(inv)
     assert results.stats.niter == 6
     assert np.isfinite(results.stats.losses).all()
+
+
+def test_minibatching_manual_adjoint(gt):
+    """Minibatching with a manual adjoint: glacier ids route through the
+    gathered batch so per-glacier θ entries resolve correctly (previously
+    silently unavailable for grad ∉ {jax, sciml})."""
+    from odinn_tpu.inverse.adjoint_types import AutoVJP, DiscreteAdjoint
+
+    params, glaciers, tstops = gt
+    params = make_params(epochs=(4,), lr=(0.05,), batch_size=1)
+    params = params.replace(
+        UDE=UDEParameters(grad=DiscreteAdjoint(VJP_method=AutoVJP()))
+    )
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    results = run_inversion(inv)
+    assert results.stats.niter == 4
+    assert np.isfinite(results.stats.losses).all()
+    # both glaciers' per-glacier A entries must have moved (ids routed right)
+    theta0 = Inversion(model=model, glaciers=glaciers, parameters=params).theta
+    moved = np.asarray(jnp.abs(inv.theta["A"] - theta0["A"]))
+    assert (moved > 0).all(), f"per-glacier θ rows not all updated: {moved}"
 
 
 def test_discrete_mb_vjp_matches_auto():

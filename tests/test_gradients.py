@@ -123,6 +123,64 @@ def test_manual_adjoints_vs_fd(setup, adjoint, gates):
     assert relerr < e_gate, f"relerr {relerr:.3e} ≥ {e_gate}"
 
 
+@pytest.mark.parametrize("solver_name", ["RKC", "SI"])
+def test_discrete_adjoint_stabilized_solvers_vs_fd(solver_name):
+    """DiscreteAdjoint rows for the production stabilized solvers (RKC2
+    stage-transpose, semi-implicit IFT transpose) — the reference hand-adjoints
+    its default solver path (gradient.jl:191-253); here the manual path covers
+    the perf-flagship solvers too. Gates: the reference's SciMLSensitivity
+    tier (1e-5/1e-7/1e-5, runtests.jl:116-140), plus roundoff-level agreement
+    with reverse-mode AD of the identical forward."""
+    tspan = (5.0, 5.25)
+    params = Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=tspan, use_MB=False, use_velocities=False),
+        solver=SolverParameters(
+            step=1.0 / 12.0, substeps=4, solver=solver_name, rkc_stages=8, cg_iters=50
+        ),
+        hyper=Hyperparameters(),
+        UDE=UDEParameters(grad="jax"),
+    )
+    glaciers = [halfar_glacier(nx=24, ny=24, dx=150.0, temp=-18.0, rgi_id="g0")]
+    tstops = build_tstops(tspan, params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=7)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+
+    loss_fn = jax.jit(
+        lambda th: batch_transient_loss(th, inv.glaciers, model, params, tstops)
+    )
+    g_ad = jax.jit(jax.grad(loss_fn))(inv.theta)
+    flat_ad, _ = flatten_theta(g_ad)
+    g_fd = fd_gradient(loss_fn, inv.theta, eps=1e-6)
+
+    # AD itself vs FD (validates implicit diff / the RKC stage scan)
+    ratio, angle, relerr = grad_metrics(np.asarray(flat_ad), g_fd)
+    assert ratio < 1e-5 and angle < 1e-7 and relerr < 1e-5, (
+        f"{solver_name} AD vs FD: ratio {ratio:.2e} angle {angle:.2e} relerr {relerr:.2e}"
+    )
+
+    adjoint = DiscreteAdjoint(VJP_method=DiscreteVJP())
+    p2 = params.replace(UDE=UDEParameters(grad=adjoint))
+    inv2 = Inversion(model=model, glaciers=glaciers, parameters=p2, theta=inv.theta)
+    vg = make_adjoint_value_and_grad(inv2, flavor="discrete")
+    val, g_man = vg(inv.theta)
+    np.testing.assert_allclose(float(val), float(loss_fn(inv.theta)), rtol=1e-8)
+
+    flat_man, _ = flatten_theta(g_man)
+    ratio, angle, relerr = grad_metrics(np.asarray(flat_man), g_fd)
+    assert ratio < 1e-5 and angle < 1e-7 and relerr < 1e-5, (
+        f"{solver_name} manual vs FD: ratio {ratio:.2e} angle {angle:.2e} relerr {relerr:.2e}"
+    )
+    # exact transpose ⇒ roundoff-level agreement with AD
+    rel = np.abs(np.asarray(flat_man) - np.asarray(flat_ad)) / (
+        np.abs(np.asarray(flat_ad)) + 1e-30
+    )
+    assert rel.max() < 1e-6, f"{solver_name} manual vs AD max rel {rel.max():.2e}"
+
+
 def test_gridded_A_gradient_masked_subset_vs_fd(setup):
     """Large-θ gradient parity on a random masked subset of entries — the
     reference's strategy for parameter vectors > 60 entries

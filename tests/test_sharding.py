@@ -34,14 +34,19 @@ from odinn_tpu.simulation.solver import build_tstops
 @pytest.fixture(scope="module")
 def problem():
     tspan = (5.0, 5.5)
+    # max_A bounds what the (randomly initialized) NN law can output; RK4 with
+    # substeps=8 is CFL-stable up to A ≈ 4e-18 on this grid, so cap at 2e-18
     params = Parameters(
-        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        physical=PhysicalParameters(min_A=8e-21, max_A=2e-18),
         simulation=SimulationParameters(tspan=tspan, use_MB=False, use_velocities=False),
-        solver=SolverParameters(step=1.0 / 12.0, substeps=6),
+        solver=SolverParameters(step=1.0 / 12.0, substeps=8),
         hyper=Hyperparameters(optimizer="adam", learning_rate=1e-2, epochs=1),
         UDE=UDEParameters(grad="jax"),
     )
-    temps = np.linspace(-25.0, -14.0, 8)
+    # temps must stay inside RK4's CFL-stable range for substeps=6 — warmer
+    # glaciers (≥ ~−18 °C) NaN the truth solve, and assert_allclose(nan, nan)
+    # passes silently, making every comparison in this module vacuous
+    temps = np.linspace(-25.0, -19.0, 8)
     glaciers = [
         halfar_glacier(nx=24, ny=24, dx=150.0, temp=float(t), rgi_id=f"s{i}")
         for i, t in enumerate(temps)
@@ -49,6 +54,8 @@ def problem():
     tstops = build_tstops(tspan, params.solver.step)
     truth = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
     glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+    for g in glaciers:
+        assert np.isfinite(np.asarray(g.thickness_data.H)).all(), "NaN ground truth"
     nn = NeuralNetwork(default_architecture(1, light=True), seed=1)
     model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
     batch = stack_glaciers(glaciers)
@@ -62,6 +69,8 @@ def test_sharded_loss_matches_single_device(problem):
 
     loss_fn = lambda th, b: batch_transient_loss(th, b, model, params, tstops)
     ref_val, ref_grads = jax.jit(jax.value_and_grad(loss_fn))(theta, batch)
+    # a NaN reference makes every assert_allclose below vacuous (nan == nan)
+    assert np.isfinite(float(ref_val)), "training-model loss is non-finite"
 
     mesh = make_mesh(8)
     sb, _ = pad_batch_to(batch, 8)
@@ -115,6 +124,44 @@ def test_shard_map_explicit_collectives(problem):
     np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-10)
     for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(ref_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+
+def test_train_ude_on_mesh_matches_single_device(problem):
+    """Full ``train_ude`` consuming a mesh (the reference's automatic
+    Distributed scale-out, config.jl:97-139): sharded losses per epoch equal
+    the single-device run, including with a non-mesh-multiple glacier count
+    (padded lanes) and through ``enable_multiprocessing`` registration."""
+    from odinn_tpu.api import enable_multiprocessing
+    from odinn_tpu.parallel.mesh import set_active_mesh
+    from odinn_tpu.simulation.inversion import Inversion, train_ude
+
+    params, model, batch, theta, tstops = problem
+    params = params.replace(hyper=Hyperparameters(optimizer="adam", learning_rate=1e-2, epochs=3))
+    # 7 glaciers: not a multiple of 8 → exercises the zero-loss padding
+    batch7 = jax.tree.map(
+        lambda x: x[:7] if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == 8 else x,
+        batch,
+    )
+
+    inv_ref = Inversion(model=model, glaciers=batch7, parameters=params,
+                        theta=jax.tree.map(jnp.copy, theta))
+    res_ref = train_ude(inv_ref)
+
+    mesh = enable_multiprocessing()      # registers the active mesh
+    try:
+        assert mesh.size == 8
+        inv_m = Inversion(model=model, glaciers=batch7, parameters=params,
+                          theta=jax.tree.map(jnp.copy, theta))
+        res_m = train_ude(inv_m)         # picks the mesh up automatically
+    finally:
+        set_active_mesh(None)
+
+    np.testing.assert_allclose(res_m.stats.losses, res_ref.stats.losses, rtol=1e-9)
+    for a, b in zip(jax.tree.leaves(inv_m.theta), jax.tree.leaves(inv_ref.theta)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
+    # results sliced back to the original glacier count (padding removed)
+    assert res_m.simulation["H"].shape == res_ref.simulation["H"].shape
+    assert res_m.simulation["H"].shape[0] == 7
 
 
 def test_shard_map_per_glacier_theta(problem):
