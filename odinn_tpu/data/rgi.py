@@ -4,10 +4,16 @@ TPU-native rebuild of Sleipnir's data layer entry points
 (``get_rgi_paths``, ``initialize_glaciers``, ``fake_multi_datacube``; usage
 /root/reference/README.md:63, test/test_grad_loss.jl:151-162).
 
-The reference reads Gungnir/OGGM-preprocessed NetCDF rasters. This
-environment has no NetCDF stack and no network, so the on-disk contract here
-is a documented ``.npz`` per glacier (the Gungnir-equivalent preprocessing
-step writes it; :func:`write_glacier_npz` is the producer):
+The reference reads Gungnir/OGGM-preprocessed NetCDF rasters. Two on-disk
+contracts are supported:
+
+1. **OGGM glacier directories** (the reference's native layout):
+   ``<prepro_dir>/<rgi_id>/gridded_data.nc`` (+ ``climate_historical.nc``),
+   read through the h5py-backed NetCDF-4 layer
+   (:mod:`odinn_tpu.data.netcdf` — NetCDF-4 files are HDF5). Bare
+   ``<rgi_id>.nc`` files are treated as gridded_data.
+2. A documented ``.npz`` per glacier (fast-path; the Gungnir-equivalent
+   preprocessing step writes it; :func:`write_glacier_npz` is the producer):
 
     <prepro_dir>/<rgi_id>.npz with arrays:
       H0 (nx, ny)        initial ice thickness [m]      (Farinotti et al. 2019)
@@ -39,6 +45,7 @@ __all__ = [
     "write_glacier_npz",
     "fake_multi_datacube",
     "generate_synthetic_rgi_dir",
+    "generate_synthetic_oggm_dir",
 ]
 
 _PREPRO_ENV = "ODINN_TPU_PREPRO_DIR"
@@ -50,11 +57,15 @@ def get_rgi_paths(prepro_dir: Optional[str] = None) -> Dict[str, str]:
     root = prepro_dir or os.environ.get(_PREPRO_ENV, os.path.join(os.getcwd(), "data", "prepro"))
     if not os.path.isdir(root):
         return {}
-    return {
-        os.path.splitext(f)[0]: os.path.join(root, f)
-        for f in sorted(os.listdir(root))
-        if f.endswith(".npz")
-    }
+    paths: Dict[str, str] = {}
+    for f in sorted(os.listdir(root)):
+        full = os.path.join(root, f)
+        if f.endswith((".npz", ".nc")):
+            paths[os.path.splitext(f)[0]] = full
+        elif os.path.isdir(full) and os.path.exists(os.path.join(full, "gridded_data.nc")):
+            # OGGM glacier directory layout
+            paths[f] = os.path.join(full, "gridded_data.nc")
+    return paths
 
 
 def _downscale(a: np.ndarray, k: int) -> np.ndarray:
@@ -62,6 +73,28 @@ def _downscale(a: np.ndarray, k: int) -> np.ndarray:
         return a
     nx, ny = (a.shape[0] // k) * k, (a.shape[1] // k) * k
     return a[:nx, :ny].reshape(nx // k, k, ny // k, k).mean(axis=(1, 3))
+
+
+def _downscale_glacier(g: Glacier, k: int) -> Glacier:
+    """Apply gridScalingFactor coarsening to a loaded glacier (block-mean on
+    rasters, stride-mean on coordinates, dx/dy scaled)."""
+    if k <= 1:
+        return g
+
+    def down1d(v):
+        v = np.asarray(v)
+        m = (v.shape[0] // k) * k
+        return jnp.asarray(v[:m].reshape(-1, k).mean(axis=1))
+
+    return g.replace(
+        H0=jnp.asarray(_downscale(np.asarray(g.H0), k)),
+        B=jnp.asarray(_downscale(np.asarray(g.B), k)),
+        mask=jnp.asarray(_downscale(np.asarray(g.mask), k) > 0.5).astype(g.H0.dtype),
+        dx=jnp.asarray(float(g.dx) * k),
+        dy=jnp.asarray(float(g.dy) * k),
+        coords_x=down1d(g.coords_x),
+        coords_y=down1d(g.coords_y),
+    )
 
 
 def initialize_glaciers(
@@ -77,8 +110,19 @@ def initialize_glaciers(
         if rid not in paths:
             raise FileNotFoundError(
                 f"no preprocessed file for {rid}; set ${_PREPRO_ENV} or run the "
-                "Gungnir-equivalent preprocessing (see write_glacier_npz)"
+                "Gungnir-equivalent preprocessing (see write_glacier_npz / "
+                "netcdf.write_glacier_nc)"
             )
+        if paths[rid].endswith(".nc"):
+            from odinn_tpu.data.netcdf import load_glacier_nc
+
+            climate_path = os.path.join(os.path.dirname(paths[rid]), "climate_historical.nc")
+            g = load_glacier_nc(paths[rid], climate_path=climate_path, rgi_id=rid)
+            g = _downscale_glacier(g, k)
+            if velocity_datacubes is not None and rid in velocity_datacubes:
+                g = g.replace(velocity_data=velocity_datacubes[rid])
+            out.append(g)
+            continue
         with np.load(paths[rid]) as z:
             H0 = _downscale(z["H0"], k)
             B = _downscale(z["B"], k)
@@ -169,6 +213,26 @@ def generate_synthetic_rgi_dir(dirpath: str, n: int = 4, nx: int = 64, ny: int =
         g = halfar_glacier(nx=nx, ny=ny, dx=float(rng.uniform(80, 150)), temp=temp,
                            climate=clim, rgi_id=f"RGI60-99.{i:05d}")
         write_glacier_npz(os.path.join(dirpath, f"{g.rgi_id}.npz"), g, temp)
+        ids.append(g.rgi_id)
+    return ids
+
+
+def generate_synthetic_oggm_dir(dirpath: str, n: int = 2, nx: int = 64, ny: int = 64,
+                                seed: int = 0) -> List[str]:
+    """Write a synthetic preprocessed dataset in the OGGM glacier-directory
+    layout (``<rgi_id>/gridded_data.nc`` + ``climate_historical.nc``) so the
+    real-data NetCDF ingestion path is exercisable offline."""
+    from odinn_tpu.data.netcdf import write_glacier_nc
+    from odinn_tpu.data.synthetic import halfar_glacier, monthly_dummy_climate
+
+    rng = np.random.default_rng(seed)
+    ids = []
+    for i in range(n):
+        temp = float(rng.uniform(-25.0, -12.0))
+        clim = monthly_dummy_climate(2010.0, 72, longterm_temp=temp, nx=nx, ny=ny)
+        g = halfar_glacier(nx=nx, ny=ny, dx=float(rng.uniform(80, 150)), temp=temp,
+                           climate=clim, rgi_id=f"RGI60-11.{i:05d}")
+        write_glacier_nc(dirpath, g, temp)
         ids.append(g.rgi_id)
     return ids
 
