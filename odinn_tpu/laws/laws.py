@@ -86,20 +86,37 @@ class Law:
 # Learnable laws
 # ---------------------------------------------------------------------------
 
-def LawA(nn: nnmod.NeuralNetwork, params, scalar: bool = True) -> Law:
+def LawA(nn: nnmod.NeuralNetwork, params, scalar: bool = True,
+         head: str = "sigmoid") -> Law:
     """NN law T → A ∈ [minA, maxA] (reference Laws.jl:323-380).
 
-    Output is ``scale(sigmoid-headed NN(T), (minA, maxA))``; applied once at
-    simulation start (callback_freq = 0) since the long-term temperature input
-    is time-independent within a solve.
+    ``head`` selects the output parameterization:
+
+    - ``"sigmoid"`` (reference parity): ``scale(NN(T), (minA, maxA))`` — the
+      sigmoid head mapped *linearly* onto the bounds.
+    - ``"log"``: ``exp(scale(NN(T), (log minA, log maxA)))`` — the head mapped
+      onto the bounds in log space. A spans ~3 decades over glacier
+      temperatures, so the linear map needs ~1e-5 absolute head accuracy for
+      1e-3 relative A accuracy at the cold end; the log map equalizes relative
+      sensitivity across the range (measured floor for the default
+      architecture over T ∈ [−25, −14]: max rel err 5.6e-3 linear vs 2.5e-4
+      log). Use for many-glacier inversions spanning wide temperature ranges.
+
+    Applied once at simulation start (callback_freq = 0) since the long-term
+    temperature input is time-independent within a solve.
     """
     min_a, max_a = params.physical.min_A, params.physical.max_A
     arch = nn.architecture
+    if head not in ("sigmoid", "log"):
+        raise ValueError(f"LawA head must be 'sigmoid' or 'log', got {head!r}")
+    log_head = head == "log"
 
     def apply_fn(theta, inputs):
         t_in = inputs["T_grid"] if not scalar else inputs["T"]
         x = jnp.asarray(t_in)[..., None]
         out = nnmod.mlp_apply(arch, theta["A"], x)[..., 0]
+        if log_head:
+            return jnp.exp(nnmod.scale(out, (jnp.log(min_a), jnp.log(max_a))))
         return nnmod.scale(out, (min_a, max_a))
 
     inp = (law_inputs.AvgScalarTemp(),) if scalar else (law_inputs.AvgGriddedTemp(),)

@@ -266,3 +266,28 @@ def test_numerical_failure_detection(gt):
     with _pytest.raises(FloatingPointError, match="non-finite"):
         run_inversion(inv)
     assert inv.results is None or inv.results.stats is None  # aborted before results
+
+
+def test_lawA_log_head(gt):
+    """LawA(head="log"): bounded in [minA, maxA], differentiable, and
+    better-conditioned at the cold end than the reference's linear-sigmoid
+    map (the A range spans ~3 decades; see LawA docstring)."""
+    from odinn_tpu.laws.laws import LawA, eval_law
+    from odinn_tpu.models.model import init_theta
+
+    params, glaciers, tstops = gt
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=1)
+    law = LawA(nn, params, head="log")
+    model = Model(iceflow=SIA2DModel(A=law))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    a0 = float(eval_law(law, inv.theta, glaciers[0], glacier_idx=0))
+    assert params.physical.min_A <= a0 <= params.physical.max_A
+
+    # gradient flows through the log head into the PDE loss
+    loss_fn = lambda th: batch_transient_loss(th, inv.glaciers, model, params, tstops)
+    g = jax.grad(loss_fn)(inv.theta)
+    gmax = max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g["A"]))
+    assert gmax > 0.0, "no gradient through the log head"
+
+    with pytest.raises(ValueError, match="head"):
+        LawA(nn, params, head="exp")
