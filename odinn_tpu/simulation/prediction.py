@@ -260,6 +260,10 @@ def generate_ground_truth(
         )
     pred = Prediction(model=model, glaciers=list(glaciers), parameters=params, theta=theta)
     results = run_prediction(pred, tstops=jnp.asarray(tstops))
+    # one bulk device→host transfer: the per-glacier slicing below would
+    # otherwise issue O(n_glaciers) tiny device ops, which on remote/tunneled
+    # backends each pay a full round-trip
+    results = jax.device_get(results)
     t = results["t"]
     out = []
     for i, g in enumerate(glaciers):
