@@ -58,26 +58,49 @@ def _div_flux(u, D, dx, dy):
     return st.pad_inner(div)
 
 
-def _cg(matvec, b, x0, iters: int):
-    """Fixed-iteration conjugate gradients (SPD operator, scan-driven)."""
+def _cg(matvec, b, x0, iters: int, precond=None):
+    """Fixed-iteration (Jacobi-)preconditioned conjugate gradients.
+
+    SPD operator, scan-driven (static trip count keeps the vmapped solve one
+    fused XLA loop). ``precond`` applies M⁻¹ (elementwise for Jacobi); the
+    SIA operator's diagonal varies by ~4 orders of magnitude between ice-free
+    cells (diag = 1) and fast, warm ice (diag = 1 + dt·ΣD/dx² ≫ 1), so the
+    Jacobi transform collapses that spread and CG converges in far fewer
+    iterations than the unpreconditioned recursion at the same per-iteration
+    cost (one extra elementwise multiply).
+    """
+    if precond is None:
+        precond = lambda r: r
     r0 = b - matvec(x0)
-    p0 = r0
-    rs0 = jnp.sum(r0 * r0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
 
     def body(carry, _):
-        x, r, p, rs = carry
+        x, r, p, rz = carry
         Ap = matvec(p)
         denom = jnp.sum(p * Ap)
-        alpha = jnp.where(denom > 0.0, rs / jnp.maximum(denom, 1e-300), 0.0)
+        alpha = jnp.where(denom > 0.0, rz / jnp.maximum(denom, 1e-300), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = jnp.sum(r * r)
-        beta = jnp.where(rs > 0.0, rs_new / jnp.maximum(rs, 1e-300), 0.0)
-        p = r + beta * p
-        return (x, r, p, rs_new), None
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 0.0, rz_new / jnp.maximum(rz, 1e-300), 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
 
-    (x, r, p, rs), _ = lax.scan(body, (x0, r0, p0, rs0), None, length=iters)
+    (x, r, p, rz), _ = lax.scan(body, (x0, r0, p0, rz0), None, length=iters)
     return x
+
+
+def _jacobi_diag(D, dt, dx, dy, interior):
+    """diag(I − dt·M·∇·(D∇(M·))): 1 + dt·(D_{i−½}+D_{i+½})/dx² + (y-term)
+    on the interior, 1 on the ring."""
+    Dx = st.avg_y(D)   # staggered-x faces
+    Dy = st.avg_x(D)   # staggered-y faces
+    sx = (Dx[..., :-1, :] + Dx[..., 1:, :]) / (dx * dx)
+    sy = (Dy[..., :, :-1] + Dy[..., :, 1:]) / (dy * dy)
+    return 1.0 + dt * interior * st.pad_inner(sx + sy)
 
 
 def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int = 30):
@@ -105,14 +128,20 @@ def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int 
 
     b = H + dt * interior * _div_flux(B + ring * H, D, dx, dy)
 
+    # Jacobi preconditioner: M⁻¹ is symmetric, so the transpose solve may use
+    # the same preconditioned recursion (A stays the operator; only CG's
+    # search directions change — custom_linear_solve's symmetry contract holds)
+    inv_diag = 1.0 / _jacobi_diag(D, dt, dx, dy, interior)
+    precond = lambda r: r * inv_diag
+
     # forward CG warm-starts at H (the solution is an O(dt) perturbation of
     # it); the transpose solve's solution is cotangent-sized, so it must NOT
     # start at H — warm-start at the rhs itself (A = I − dt·L ⇒ x ≈ rhs)
     H_new = lax.custom_linear_solve(
         matvec,
         b,
-        solve=lambda mv, rhs: _cg(mv, rhs, H, cg_iters),
-        transpose_solve=lambda mv, rhs: _cg(mv, rhs, rhs, cg_iters),
+        solve=lambda mv, rhs: _cg(mv, rhs, H, cg_iters, precond),
+        transpose_solve=lambda mv, rhs: _cg(mv, rhs, rhs, cg_iters, precond),
         symmetric=True,
     )
     return st.relu_strict(H_new)

@@ -312,6 +312,16 @@ def train_ude(
     stats._record_theta_hist = record_theta_hist
     vg = _make_grad_fn(inversion, loss_fn_b)
 
+    # best-iterate tracking (full-batch only: minibatch losses are stochastic
+    # estimates). The reference's Optimization.jl returns the MINIMIZER, not
+    # the last iterate — late-stage oscillation must not corrupt the result.
+    best_val, best_theta = np.inf, None
+
+    def _track_best(val, theta_in):
+        nonlocal best_val, best_theta
+        if val < best_val:
+            best_val, best_theta = val, theta_in
+
     n_glaciers = batch.H0.shape[0]
     bsize = min(params.hyper.batch_size, n_glaciers)
     minibatching = 0 < bsize < n_glaciers
@@ -354,8 +364,10 @@ def train_ude(
 
             for it in range(epochs):
                 t_start = time.time()
+                theta_in = theta
                 theta, state, val, gnorm = step(theta, state, batch)
                 _record(stats, float(val), theta, float(gnorm), time.time() - t_start)
+                _track_best(float(val), theta_in)
                 if callback is not None:
                     callback(stats)
         elif opt_name in ("lbfgs", "bfgs"):
@@ -375,12 +387,22 @@ def train_ude(
 
             for it in range(epochs):
                 t_start = time.time()
+                theta_in = theta
                 theta, state, val, gnorm = lbfgs_step(theta, state, batch)
                 _record(stats, float(val), theta, float(gnorm), time.time() - t_start)
+                _track_best(float(val), theta_in)
                 if callback is not None:
                     callback(stats)
         else:
             raise ValueError(f"unknown optimizer {opt_name!r}")
+
+    # adopt the best iterate (loss is recorded for θ *before* each update, so
+    # the final θ's loss is unknown — compare it before deciding)
+    if best_theta is not None and stats.losses:
+        final_val = float(jax.jit(loss_fn_b)(theta, batch))
+        if best_val < final_val:
+            theta = best_theta
+        stats.final_loss = min(best_val, final_val)
 
     stats.retcode = "Success"
     stats.theta = theta

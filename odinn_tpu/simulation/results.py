@@ -30,6 +30,7 @@ class TrainingStats:
     initial_conditions: Any = None
     last_call: float = 0.0
     time_per_iter: List[float] = field(default_factory=list)
+    final_loss: Optional[float] = None   # loss of the returned (best) iterate
 
 
 @dataclass
