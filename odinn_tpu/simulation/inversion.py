@@ -312,19 +312,53 @@ def train_ude(
     stats._record_theta_hist = record_theta_hist
     vg = _make_grad_fn(inversion, loss_fn_b)
 
-    # best-iterate tracking (full-batch only: minibatch losses are stochastic
+    # Best-iterate tracking (full-batch only: minibatch losses are stochastic
     # estimates). The reference's Optimization.jl returns the MINIMIZER, not
     # the last iterate — late-stage oscillation must not corrupt the result.
-    best_val, best_theta = np.inf, None
+    # Tracked ON DEVICE inside the jitted step (one extra θ-sized buffer):
+    # host-side tracking would force a blocking scalar sync every step, which
+    # on remote/tunneled backends costs as much as the step itself.
+    best_val = None          # device scalar, rides through the stage steps
+    best_theta = None        # device pytree
 
-    def _track_best(val, theta_in):
+    def _init_best(theta):
         nonlocal best_val, best_theta
-        if val < best_val:
-            best_val, best_theta = val, theta_in
+        if best_val is None:
+            dt_ = jnp.result_type(jax.tree.leaves(theta)[0])
+            best_val = jnp.asarray(jnp.inf, dt_)
+            best_theta = theta
+
+    def _step_best(val, theta_in, best_val, best_theta):
+        """In-jit: fold this iterate into the running best."""
+        improved = val < best_val
+        best_val = jnp.where(improved, val, best_val)
+        best_theta = jax.tree.map(
+            lambda bt, th: jnp.where(improved, th, bt), best_theta, theta_in
+        )
+        return best_val, best_theta
+
+    # When no per-iteration callback is requested, per-step scalars (loss,
+    # grad norm) are fetched in ONE bulk transfer at stage end — fetching
+    # them eagerly doubles epoch time on remote backends.
+    async_rec = callback is None and not record_theta_hist
+
+    def _flush(pending, theta, stage_wall):
+        if not pending:
+            return
+        host = jax.device_get(pending)
+        dt_each = stage_wall / len(host)
+        for v, gn in host:
+            _record(stats, float(v), theta, float(gn), dt_each)
 
     n_glaciers = batch.H0.shape[0]
     bsize = min(params.hyper.batch_size, n_glaciers)
     minibatching = 0 < bsize < n_glaciers
+    if minibatching:
+        # loud, once: losses become stochastic subset sums and per-step cost
+        # reflects bsize glaciers, not the full batch (hyper.batch_size
+        # defaults to 15, matching the reference's DataLoader default)
+        print(f"[odinn_tpu] minibatching {bsize}/{n_glaciers} glaciers per step "
+              f"(set hyper.batch_size >= {n_glaciers} for full-batch)")
     if minibatching and use_mesh and bsize % mesh.size != 0:
         raise ValueError(
             f"hyper.batch_size={bsize} must be a multiple of the mesh size "
@@ -347,62 +381,84 @@ def train_ude(
                     updates, state = opt.update(grads, state, theta)
                     return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
 
+                pending, t_stage = [], time.time()
                 for it in range(epochs):
                     t_start = time.time()
                     ids = jnp.asarray(rng.choice(n_glaciers, size=bsize, replace=False))
                     theta, state, val, gnorm = step_mb(theta, state, batch, ids)
+                    if async_rec:
+                        pending.append((val, gnorm))
+                        continue
                     _record(stats, float(val), theta, float(gnorm), time.time() - t_start)
                     if callback is not None:
                         callback(stats)
+                _flush(pending, theta, time.time() - t_stage)
                 continue
 
-            @jax.jit
-            def step(theta, state, b):
-                val, grads = vg(theta, b)
-                updates, state = opt.update(grads, state, theta)
-                return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
+            _init_best(theta)
 
+            @jax.jit
+            def step(theta, state, best_val, best_theta, b):
+                val, grads = vg(theta, b)
+                best_val, best_theta = _step_best(val, theta, best_val, best_theta)
+                updates, state = opt.update(grads, state, theta)
+                return (optax.apply_updates(theta, updates), state,
+                        best_val, best_theta, val, optax.global_norm(grads))
+
+            pending, t_stage = [], time.time()
             for it in range(epochs):
                 t_start = time.time()
-                theta_in = theta
-                theta, state, val, gnorm = step(theta, state, batch)
+                theta, state, best_val, best_theta, val, gnorm = step(
+                    theta, state, best_val, best_theta, batch)
+                if async_rec:
+                    pending.append((val, gnorm))
+                    continue
                 _record(stats, float(val), theta, float(gnorm), time.time() - t_start)
-                _track_best(float(val), theta_in)
                 if callback is not None:
                     callback(stats)
+            _flush(pending, theta, time.time() - t_stage)
         elif opt_name in ("lbfgs", "bfgs"):
             opt = optax.lbfgs(
                 linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20)
             )
             state = opt.init(theta)
 
+            _init_best(theta)
+
             @jax.jit
-            def lbfgs_step(theta, state, b):
+            def lbfgs_step(theta, state, best_val, best_theta, b):
                 val, grads = vg(theta, b)
+                best_val, best_theta = _step_best(val, theta, best_val, best_theta)
                 updates, state = opt.update(
                     grads, state, theta, value=val, grad=grads,
                     value_fn=lambda th: loss_fn_b(th, b),
                 )
-                return optax.apply_updates(theta, updates), state, val, optax.global_norm(grads)
+                return (optax.apply_updates(theta, updates), state,
+                        best_val, best_theta, val, optax.global_norm(grads))
 
+            pending, t_stage = [], time.time()
             for it in range(epochs):
                 t_start = time.time()
-                theta_in = theta
-                theta, state, val, gnorm = lbfgs_step(theta, state, batch)
+                theta, state, best_val, best_theta, val, gnorm = lbfgs_step(
+                    theta, state, best_val, best_theta, batch)
+                if async_rec:
+                    pending.append((val, gnorm))
+                    continue
                 _record(stats, float(val), theta, float(gnorm), time.time() - t_start)
-                _track_best(float(val), theta_in)
                 if callback is not None:
                     callback(stats)
+            _flush(pending, theta, time.time() - t_stage)
         else:
             raise ValueError(f"unknown optimizer {opt_name!r}")
 
     # adopt the best iterate (loss is recorded for θ *before* each update, so
     # the final θ's loss is unknown — compare it before deciding)
     if best_theta is not None and stats.losses:
-        final_val = float(jax.jit(loss_fn_b)(theta, batch))
-        if best_val < final_val:
+        final_val, bv = jax.device_get(
+            (jax.jit(loss_fn_b)(theta, batch), best_val))
+        if float(bv) < float(final_val):
             theta = best_theta
-        stats.final_loss = min(best_val, final_val)
+        stats.final_loss = min(float(bv), float(final_val))
 
     stats.retcode = "Success"
     stats.theta = theta
