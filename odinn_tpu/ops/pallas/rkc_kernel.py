@@ -145,11 +145,17 @@ def rkc_interval_reference(H, B, scalars, dt, s, eta0, exps=(5.0, 2.0, 4.0, 2.0)
     return _interval_math(H, B, row, exps, lambda k, j: table[k, j], dt, s, eta0)
 
 
-def _kernel(coef_ref, scal_ref, h_ref, b_ref, out_ref, *, dt, s, eta0, exps):
+def _kernel(coef_ref, scal_ref, h_ref, b_ref, out_ref, *, dt, s, eta0, exps, g_block):
     """Program over a BLOCK of glaciers: (G, nx, ny) resident in VMEM with the
     per-glacier scalars as broadcastable (G, 1, 1) columns — big elementwise
-    ops keep the VPU busy while all stage carries stay on-chip."""
-    scal = scal_ref[0]                      # (G, 4) VMEM
+    ops keep the VPU busy while all stage carries stay on-chip.
+
+    The scalar table arrives whole (its trailing dims are too small for
+    Mosaic block tiling when g_block < 8); each program slices its rows."""
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    scal = scal_ref[0, pl.ds(i * g_block, g_block), :]   # (G, 4) VMEM
     row = tuple(scal[:, k][:, None, None] for k in range(4))
     out_ref[:] = _interval_math(
         h_ref[:], b_ref[:], row, exps, lambda k, j: coef_ref[k, j], dt, s, eta0
@@ -189,13 +195,14 @@ def _forward(H, B, scalars, dt, s, eta0, exps=(5.0, 2.0, 4.0, 2.0), g_block=None
     coef = jnp.stack(
         [mu, nu, mu_t, gam_t, jnp.full_like(mu, mu1_t)], axis=0
     )  # (5, s+1)
-    kern = functools.partial(_kernel, dt=float(dt), s=s, eta0=eta0, exps=tuple(exps))
+    kern = functools.partial(_kernel, dt=float(dt), s=s, eta0=eta0, exps=tuple(exps),
+                             g_block=g_block)
     return pl.pallas_call(
         kern,
         grid=(n_g // g_block,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, g_block, 4), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_g, 4), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g_block, nx, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g_block, nx, ny), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
