@@ -59,6 +59,9 @@ def region_split_inversion(
     if tstops is None:
         tstops = build_tstops(params.simulation.tspan, params.solver.step)
     td = glacier.thickness_data
+    # observations may arrive as host numpy (generate_ground_truth's bulk
+    # device_get); promote once so traced indexing works
+    td = td.__class__(t=jnp.asarray(td.t), H=jnp.asarray(td.H))
     if td is None:
         raise ValueError("region-split inversion requires thickness observations")
 
