@@ -128,6 +128,7 @@ class Hyperparameters:
     learning_rate: Union[float, Tuple[float, ...]] = 1e-3
     epochs: Union[int, Tuple[int, ...]] = 50
     batch_size: int = 15
+    gn_cg_iters: int = 8    # CG iterations per Gauss-Newton ("lm") stage
 
 
 @dataclass(frozen=True)

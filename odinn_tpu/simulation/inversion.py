@@ -350,6 +350,22 @@ def train_ude(
         for v, gn in host:
             _record(stats, float(v), theta, float(gn), dt_each)
 
+    eval_loss = jax.jit(loss_fn_b)
+
+    def _stage_boundary(theta):
+        """End of a stage: the final iterate's loss was never recorded (the
+        in-jit tracker sees pre-update θ), so evaluate it, fold it into the
+        best, and hand the NEXT stage the best iterate — a warm start from an
+        end-of-stage oscillation peak wastes the next optimizer's budget."""
+        nonlocal best_val, best_theta
+        if best_val is None:
+            return theta
+        v_end = float(eval_loss(theta, batch))
+        if v_end < float(best_val):
+            best_val = jnp.asarray(v_end, jnp.result_type(best_val))
+            best_theta = theta
+        return best_theta
+
     n_glaciers = batch.H0.shape[0]
     bsize = min(params.hyper.batch_size, n_glaciers)
     minibatching = 0 < bsize < n_glaciers
@@ -393,6 +409,7 @@ def train_ude(
                     if callback is not None:
                         callback(stats)
                 _flush(pending, theta, time.time() - t_stage)
+                theta = _stage_boundary(theta)
                 continue
 
             _init_best(theta)
@@ -417,6 +434,7 @@ def train_ude(
                 if callback is not None:
                     callback(stats)
             _flush(pending, theta, time.time() - t_stage)
+            theta = _stage_boundary(theta)
         elif opt_name in ("lbfgs", "bfgs"):
             opt = optax.lbfgs(
                 linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20)
@@ -448,6 +466,39 @@ def train_ude(
                 if callback is not None:
                     callback(stats)
             _flush(pending, theta, time.time() - t_stage)
+            theta = _stage_boundary(theta)
+        elif opt_name in ("lm", "gn", "gauss_newton", "gauss-newton"):
+            # second-order stage: matrix-free Levenberg–Marquardt on the
+            # least-squares transient loss (inverse.gauss_newton) — quadratic
+            # local convergence where Adam/LBFGS crawl. `lr` is the initial
+            # damping λ; `epochs` the LM iteration count.
+            if minibatching:
+                raise ValueError("Gauss-Newton stages require full-batch training "
+                                 f"(hyper.batch_size >= {n_glaciers})")
+            from odinn_tpu.inverse.gauss_newton import lm_train, make_residual_fn
+
+            resid = make_residual_fn(model, params, tstops)
+            t_stage = time.time()
+
+            def rec(v, th, gn):
+                _record(stats, v, th, gn, 0.0)
+                if callback is not None:
+                    callback(stats)
+
+            theta, lm_losses = lm_train(theta, batch, resid, iters=epochs,
+                                        cg_iters=params.hyper.gn_cg_iters,
+                                        init_damping=lr, record=rec)
+            stage_wall = time.time() - t_stage
+            n_rec = max(len(lm_losses), 1)
+            stats.time_per_iter.extend([stage_wall / n_rec] * n_rec)
+            # LM's accept rule is monotone, so the returned θ is the stage's
+            # best iterate; fold into the global best (host-side scalars)
+            _init_best(theta)
+            lm_best = min(lm_losses)
+            if lm_best < float(best_val):
+                best_val = jnp.asarray(lm_best, jnp.result_type(best_val))
+                best_theta = theta
+            theta = _stage_boundary(theta)
         else:
             raise ValueError(f"unknown optimizer {opt_name!r}")
 

@@ -1,0 +1,128 @@
+"""Gauss-Newton / Levenberg-Marquardt trainer.
+
+The transient LossH objective is exact least squares; the LM stage
+(odinn_tpu.inverse.gauss_newton) must (a) have residuals whose square-sum IS
+the loss, and (b) reach the reference's convergence gates
+(/root/reference/test/inversion_test.jl:154-163) in O(10) second-order
+iterations where first-order stages need hundreds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odinn_tpu.core.params import (
+    Hyperparameters,
+    Parameters,
+    PhysicalParameters,
+    SimulationParameters,
+    SolverParameters,
+    UDEParameters,
+)
+from odinn_tpu.data.synthetic import halfar_glacier
+from odinn_tpu.laws.laws import CuffeyPaterson, LawA, eval_law, poly_A_paterson_cuffey
+from odinn_tpu.models.model import Model, SIA2DModel
+from odinn_tpu.simulation.inversion import (
+    Inversion,
+    batch_transient_loss,
+    run_inversion,
+)
+from odinn_tpu.simulation.prediction import generate_ground_truth
+from odinn_tpu.simulation.solver import build_tstops
+
+
+def make_setup(optimizer, lr, epochs):
+    tspan = (5.0, 6.0)
+    params = Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=tspan, use_MB=False, test_mode=True),
+        solver=SolverParameters(step=1.0 / 12.0, substeps=15),
+        hyper=Hyperparameters(optimizer=optimizer, learning_rate=lr, epochs=epochs,
+                              batch_size=8),
+        UDE=UDEParameters(grad="jax", target="A"),
+    )
+    glaciers = [
+        halfar_glacier(nx=36, ny=36, dx=120.0, temp=-15.0, rgi_id="gn-1"),
+        halfar_glacier(nx=36, ny=36, dx=120.0, temp=-22.0, rgi_id="gn-2"),
+    ]
+    tstops = build_tstops(tspan, params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+    return params, glaciers, tstops
+
+
+def test_residual_squares_to_loss():
+    from odinn_tpu.core.glacier import stack_glaciers
+    from odinn_tpu.inverse.gauss_newton import make_residual_fn
+    from odinn_tpu.models.model import init_theta
+    from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+    from odinn_tpu.simulation.inversion import assemble_tstops
+
+    params, glaciers, tstops = make_setup(("adam",), (0.1,), (1,))
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=0)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    batch = stack_glaciers(glaciers)
+    theta = init_theta(model, batch)
+    ts2 = assemble_tstops(params, batch)
+    resid = make_residual_fn(model, params, ts2)
+    r = resid(theta, batch)
+    loss_sq = float(jnp.sum(r * r))
+    loss_ref = float(batch_transient_loss(theta, batch, model, params, ts2))
+    np.testing.assert_allclose(loss_sq, loss_ref, rtol=1e-10)
+
+
+def test_lm_collapses_loss_after_adam():
+    """15 LM iterations gain ≥15× over their Adam warm-start (measured
+    ~27×; each LM iteration ≈ cg_iters+2 gradient-equivalents, and Adam with
+    the same extra budget gains ~2× from this start), the accepted-iterate
+    trace is monotone, and A moves decisively toward truth."""
+    params, glaciers, tstops = make_setup(("adam", "lm"), (0.05, 1e-3), (30, 15))
+    from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=666)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    res = run_inversion(inv)
+    losses = res.stats.losses
+    assert np.isfinite(losses).all()
+    lm_start = losses[30]      # first LM-stage record = loss at the Adam result
+    assert res.stats.final_loss < lm_start / 15.0, (
+        f"LM gained <15x: {lm_start:.3e} -> {res.stats.final_loss:.3e}"
+    )
+    # accept rule makes the LM trace monotone non-increasing
+    lm_trace = losses[30:]
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(lm_trace, lm_trace[1:])), lm_trace
+    # A moves decisively toward the truth at both temperatures
+    a_true = poly_A_paterson_cuffey()
+    for g, temp in [(0, -15.0), (1, -22.0)]:
+        a_nn = float(eval_law(model.iceflow.A, inv.theta, glaciers[g], glacier_idx=g))
+        a_ref = float(a_true(jnp.asarray(temp)))
+        assert abs(a_nn - a_ref) / a_ref < 0.15, (temp, a_nn, a_ref)
+
+
+def test_lm_rejects_minibatching():
+    params, glaciers, tstops = make_setup(("lm",), (1e-2,), (3,))
+    import dataclasses
+
+    params = params.replace(hyper=dataclasses.replace(params.hyper, batch_size=1))
+    from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=0)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    with pytest.raises(ValueError, match="full-batch"):
+        run_inversion(inv)
+
+
+def test_lm_rejects_unsupported_losses():
+    from odinn_tpu.inverse.gauss_newton import make_residual_fn
+    from odinn_tpu.losses.losses import LossV, MultiLoss
+
+    params, glaciers, tstops = make_setup(("lm",), (1e-2,), (3,))
+    params = params.replace(
+        UDE=UDEParameters(grad="jax", target="A",
+                          empirical_loss_function=MultiLoss((LossV(),), (1.0,)))
+    )
+    with pytest.raises(NotImplementedError, match="LossH"):
+        make_residual_fn(None, params, tstops)
