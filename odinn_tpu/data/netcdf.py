@@ -40,6 +40,8 @@ __all__ = [
     "write_netcdf",
     "load_glacier_nc",
     "write_glacier_nc",
+    "load_velocity_nc",
+    "write_velocity_nc",
     "parse_cf_time",
 ]
 
@@ -379,3 +381,69 @@ def write_glacier_nc(dirpath: str, glacier, longterm_temp: float) -> str:
             global_attrs={"ref_hgt": float(clim.ref_hgt)},
         )
     return gdir
+
+
+def load_velocity_nc(path: str):
+    """Velocity datacube ``.nc`` → :class:`SurfaceVelocityData`.
+
+    Gungnir-style cube contract (mirrors Sleipnir.SurfaceVelocityData fields,
+    /root/reference/scripts/MWEs/inversion_diffusivity/inversion_setup.jl:79-86):
+    variables ``vx``/``vy`` (+ optional ``v``) with dims (time, y, x), a CF
+    ``time`` coordinate (mid-date of each product), optional ``date1``/``date2``
+    interval bounds, and ``x``/``y`` projected coordinates. A cube on its own
+    grid (is_grid_glacier_aligned=False) is regridded onto the glacier by
+    :func:`odinn_tpu.core.glacier.regrid_velocity_data`.
+    """
+    import jax.numpy as jnp
+
+    from odinn_tpu.core.glacier import SurfaceVelocityData
+
+    vs, va, ga = read_netcdf(path)
+    if "vx" not in vs or "vy" not in vs:
+        raise ValueError(f"{path}: velocity cube needs 'vx' and 'vy' variables")
+
+    def cube(name):
+        a = np.asarray(vs[name], np.float64)
+        return np.nan_to_num(a, nan=0.0).transpose(0, 2, 1)   # (t, y, x) → (t, x, y)
+
+    vx = cube("vx")
+    vy = cube("vy")
+    vabs = cube("v") if "v" in vs else np.sqrt(vx**2 + vy**2)
+    t_units = va.get("time", {}).get("units", "years since 0-01-01")
+    t = parse_cf_time(np.asarray(vs["time"]), str(t_units)) if "time" in vs else None
+    d1 = (parse_cf_time(np.asarray(vs["date1"]), str(t_units))
+          if "date1" in vs else None)
+    d2 = (parse_cf_time(np.asarray(vs["date2"]), str(t_units))
+          if "date2" in vs else None)
+    aligned = bool(ga.get("is_grid_glacier_aligned", False))
+    return SurfaceVelocityData(
+        t=jnp.asarray(t) if t is not None else None,
+        vx=jnp.asarray(vx), vy=jnp.asarray(vy), vabs=jnp.asarray(vabs),
+        x=jnp.asarray(np.asarray(vs["x"], np.float64)) if "x" in vs else None,
+        y=jnp.asarray(np.asarray(vs["y"], np.float64)) if "y" in vs else None,
+        date1=jnp.asarray(d1) if d1 is not None else None,
+        date2=jnp.asarray(d2) if d2 is not None else None,
+        is_grid_glacier_aligned=aligned,
+    )
+
+
+def write_velocity_nc(path: str, vd, t_units: str = "years since 0-01-01") -> None:
+    """Producer side of the velocity-cube contract (test fixtures /
+    Gungnir-equivalent preprocessing)."""
+    variables = {
+        "vx": (("time", "y", "x"), np.asarray(vd.vx, np.float64).transpose(0, 2, 1)),
+        "vy": (("time", "y", "x"), np.asarray(vd.vy, np.float64).transpose(0, 2, 1)),
+    }
+    if vd.vabs is not None:
+        variables["v"] = (("time", "y", "x"),
+                          np.asarray(vd.vabs, np.float64).transpose(0, 2, 1))
+    coords = {"time": np.asarray(vd.t, np.float64)}
+    if vd.x is not None:
+        coords["x"] = np.asarray(vd.x, np.float64)
+        coords["y"] = np.asarray(vd.y, np.float64)
+    write_netcdf(
+        path, variables=variables, coords=coords,
+        var_attrs={"time": {"units": t_units}, "vx": {"units": "m yr-1"},
+                   "vy": {"units": "m yr-1"}},
+        global_attrs={"is_grid_glacier_aligned": int(bool(vd.is_grid_glacier_aligned))},
+    )

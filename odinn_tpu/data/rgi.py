@@ -75,6 +75,21 @@ def _downscale(a: np.ndarray, k: int) -> np.ndarray:
     return a[:nx, :ny].reshape(nx // k, k, ny // k, k).mean(axis=(1, 3))
 
 
+def _attach_velocity(g: Glacier, vd):
+    """Attach a velocity datacube: paths load through the NetCDF layer, and
+    cubes on their own grid are regridded onto the glacier
+    (Sleipnir's velocityDatacubes kwarg, /root/reference/test/test_grad_loss.jl:153)."""
+    if isinstance(vd, str):
+        from odinn_tpu.data.netcdf import load_velocity_nc
+
+        vd = load_velocity_nc(vd)
+    if not vd.is_grid_glacier_aligned:
+        from odinn_tpu.core.glacier import regrid_velocity_data
+
+        vd = regrid_velocity_data(vd, g)
+    return g.replace(velocity_data=vd)
+
+
 def _downscale_glacier(g: Glacier, k: int) -> Glacier:
     """Apply gridScalingFactor coarsening to a loaded glacier (block-mean on
     rasters, stride-mean on coordinates, dx/dy scaled)."""
@@ -120,7 +135,7 @@ def initialize_glaciers(
             g = load_glacier_nc(paths[rid], climate_path=climate_path, rgi_id=rid)
             g = _downscale_glacier(g, k)
             if velocity_datacubes is not None and rid in velocity_datacubes:
-                g = g.replace(velocity_data=velocity_datacubes[rid])
+                g = _attach_velocity(g, velocity_datacubes[rid])
             out.append(g)
             continue
         with np.load(paths[rid]) as z:
@@ -167,7 +182,7 @@ def initialize_glaciers(
                 rgi_id=rid,
             )
         if velocity_datacubes is not None and rid in velocity_datacubes:
-            g = g.replace(velocity_data=velocity_datacubes[rid])
+            g = _attach_velocity(g, velocity_datacubes[rid])
         out.append(g)
     return out
 

@@ -145,3 +145,47 @@ def test_nc_loaded_glaciers_drive_inversion(tmp_path):
     losses = res.stats.losses
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], f"loss did not decrease: {losses[0]} -> {losses[-1]}"
+
+
+def test_velocity_datacube_nc_roundtrip_and_regrid(tmp_path):
+    """Gungnir-style velocity cube: write → load → attach via
+    initialize_glaciers(velocity_datacubes={rid: path}), including the
+    non-glacier-aligned regrid path (the reference's velocityDatacubes
+    kwarg, /root/reference/test/test_grad_loss.jl:151-156)."""
+    import jax
+
+    from odinn_tpu.core.glacier import SurfaceVelocityData
+    from odinn_tpu.data.netcdf import load_velocity_nc, write_velocity_nc
+
+    ids = generate_synthetic_oggm_dir(str(tmp_path), n=1, nx=40, ny=40, seed=5)
+    params = Parameters(simulation=SimulationParameters(tspan=(2010.0, 2012.0)))
+    g = initialize_glaciers(ids, params, prepro_dir=str(tmp_path))[0]
+
+    # a coarser cube on its OWN grid covering the glacier footprint
+    xs = np.linspace(float(g.coords_x[0]), float(g.coords_x[-1]), 15)
+    ys = np.linspace(float(g.coords_y[0]), float(g.coords_y[-1]), 15)
+    t = np.array([2010.5, 2011.5])
+    key = jax.random.PRNGKey(0)
+    vx = 10.0 + jax.random.uniform(key, (2, 15, 15))
+    vd = SurfaceVelocityData(
+        t=jnp.asarray(t), vx=vx, vy=2 * vx,
+        vabs=jnp.sqrt(vx**2 + (2 * vx) ** 2),
+        x=jnp.asarray(xs), y=jnp.asarray(ys),
+        is_grid_glacier_aligned=False,
+    )
+    cube_path = str(tmp_path / "vel_cube.nc")
+    write_velocity_nc(cube_path, vd)
+
+    back = load_velocity_nc(cube_path)
+    assert not back.is_grid_glacier_aligned
+    np.testing.assert_allclose(np.asarray(back.vx), np.asarray(vd.vx), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(back.t), t, atol=1e-9)
+
+    # attach by PATH: loads + regrids onto the 40x40 glacier grid
+    g2 = initialize_glaciers(ids, params, prepro_dir=str(tmp_path),
+                             velocity_datacubes={ids[0]: cube_path})[0]
+    assert g2.velocity_data is not None
+    assert g2.velocity_data.vx.shape == (2, 40, 40)
+    assert g2.velocity_data.is_grid_glacier_aligned
+    inner = np.asarray(g2.velocity_data.vx)[:, 5:-5, 5:-5]
+    assert inner.min() > 9.0 and inner.max() < 12.0   # interpolated, not extrapolated
