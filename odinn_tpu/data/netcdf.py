@@ -192,9 +192,12 @@ def _grid_spacing(c: np.ndarray, name: str) -> float:
     d = np.diff(np.asarray(c, np.float64))
     if d.size == 0:
         raise ValueError(f"coordinate {name!r} has fewer than 2 points")
-    if not np.allclose(d, d[0], rtol=1e-6):
+    mean = float(np.mean(d))
+    # tolerate single-precision coordinate storage (~1e-7 relative per value,
+    # amplified by differencing); projected OGGM grids are uniform by design
+    if not np.allclose(d, mean, rtol=1e-3, atol=1e-3 * abs(mean)):
         raise ValueError(f"coordinate {name!r} is not uniformly spaced")
-    return float(abs(d[0]))
+    return float(abs(mean))
 
 
 def load_glacier_nc(
@@ -266,7 +269,13 @@ def load_glacier_nc(
             cga.get("ref_hgt", cva.get("temp", {}).get("ref_hgt", 0.0))
         )
         # long-term temperature: mean over the series at ref height
-        longterm = float(np.mean(temp))
+        # prefer the preprocessed long-term temperature (what the T→A laws
+        # consume); the monthly-series mean is only a fallback — it reflects
+        # the ref-height seasonal mean, not the glacier's long-term climate
+        if "longterm_temp" in ga:
+            longterm = float(ga["longterm_temp"])
+        else:
+            longterm = float(np.mean(temp))
         nx, ny = H0.shape
         climate = Climate2D(
             t_start=jnp.asarray(float(t_years[0])),

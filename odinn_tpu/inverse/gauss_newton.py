@@ -73,7 +73,7 @@ def make_residual_fn(model, params, tstops):
             t = tstops[tau]
             k = jnp.argmin(jnp.abs(t_obs - t))
             h_ref = H_obs[k]
-            valid = (jnp.abs(t_obs[k] - t) < 1e-6).astype(traj.dtype)
+            valid = (jnp.abs(t_obs[k] - t) < 1e-6 + 2e-6 * jnp.abs(t)).astype(traj.dtype)
             mask = is_in_glacier(h_ref, distance).astype(traj.dtype)
             w = sum(weights) * dts[tau - 1] * valid / npix
             return jnp.sqrt(w * mask) * (traj[tau] - h_ref)

@@ -127,13 +127,13 @@ def glacier_transient_loss(theta, glacier, glacier_idx, model, params, tstops):
             if td is not None:
                 k = jnp.argmin(jnp.abs(td.t - t))
                 h_ref = td.H[k]
-                h_valid = (jnp.abs(td.t[k] - t) < 1e-6).astype(traj.dtype)
+                h_valid = (jnp.abs(td.t[k] - t) < 1e-6 + 2e-6 * jnp.abs(t)).astype(traj.dtype)
             v_ref = vx_ref = vy_ref = None
             v_valid = 1.0
             if vd is not None and vd.vabs is not None and vd.vabs.ndim == 3:
                 kv = jnp.argmin(jnp.abs(vd.t - t))
                 v_ref, vx_ref, vy_ref = vd.vabs[kv], vd.vx[kv], vd.vy[kv]
-                v_valid = (jnp.abs(vd.t[kv] - t) < 1e-6).astype(traj.dtype)
+                v_valid = (jnp.abs(vd.t[kv] - t) < 1e-6 + 2e-6 * jnp.abs(t)).astype(traj.dtype)
             ctx = make_ctx(H_ref=h_ref, V_ref=v_ref, Vx_ref=vx_ref, Vy_ref=vy_ref)
             acc = jnp.asarray(0.0, traj.dtype)
             from odinn_tpu.losses.losses import LossH as _LH, LossV as _LV

@@ -67,16 +67,43 @@ def suggest_substeps(
 def build_tstops(tspan, step, extra=None):
     """Uniform tstops over tspan at ``step``, unioned with ``extra`` times
     (Huginn.define_callback_steps equivalent; tstop assembly semantics from
-    inversion_utils.jl:487-495). Returns a sorted numpy-backed jnp array."""
+    inversion_utils.jl:487-495). Returns a sorted numpy-backed jnp array.
+
+    Merging is ulp-aware: observation times that went through float32 storage
+    (e.g. year-scale times ~2010, where one f32 ulp is ~2.4e-4) differ from
+    the f64 save grid by several ulps. A plain union would insert
+    near-duplicate tstops that collapse to zero-length intervals under an f32
+    solve and break exact observation↔save matching. Times closer than a few
+    f32 ulps are merged, keeping the DATA time as the representative so the
+    solve saves exactly at the (f32-representable) observation instant.
+    """
     import numpy as np
 
     t0, t1 = float(tspan[0]), float(tspan[1])
     n = int(round((t1 - t0) / step))
-    ts = np.linspace(t0, t1, n + 1)
-    if extra is not None:
-        ts = np.union1d(np.round(ts, 10), np.round(np.asarray(extra, float), 10))
-        ts = ts[(ts >= t0 - 1e-9) & (ts <= t1 + 1e-9)]
-    return jnp.asarray(ts)
+    grid = np.linspace(t0, t1, n + 1)
+    if extra is None:
+        return jnp.asarray(grid)
+
+    data = np.asarray(extra, float).ravel()
+    data = data[(data >= t0 - 1e-9) & (data <= t1 + 1e-9)]
+    cands = sorted(
+        [(float(t), False) for t in grid] + [(float(t), True) for t in np.unique(data)]
+    )
+
+    def tol(t):
+        return 1e-9 + 5e-7 * abs(t)   # ≈4 f32 ulps
+
+    merged = []   # (representative, has_data)
+    for t, is_data in cands:
+        if merged and t - merged[-1][0] <= tol(t):
+            rep, had_data = merged[-1]
+            # data representative wins (exact f32 match for the loss gate)
+            merged[-1] = (t if (is_data and not had_data) else rep,
+                          had_data or is_data)
+        else:
+            merged.append((t, is_data))
+    return jnp.asarray(np.asarray([t for t, _ in merged]))
 
 
 # ---------------------------------------------------------------------------

@@ -119,3 +119,27 @@ def test_velocity_datacube_regridding():
     # aligned data passes through untouched
     vd2 = SurfaceVelocityData(t=jnp.array([5.0]), vx=f[None], vy=f[None], vabs=f[None])
     assert regrid_velocity_data(vd2, g) is vd2
+
+
+def test_build_tstops_merges_f32_rounded_times():
+    """Year-scale observation times that went through float32 storage differ
+    from the f64 save grid by several f32 ulps (~2.4e-4 at t=2010). The
+    tstop assembly must merge them (keeping the data representative) instead
+    of inserting near-duplicate save points — under an f32 solve those
+    collapse to zero-length intervals and silently corrupt the objective
+    (loss at exact truth was 6.15 instead of 0 before the fix)."""
+    import numpy as np
+
+    from odinn_tpu.simulation.solver import build_tstops
+
+    grid = np.linspace(2010.0, 2011.0, 13)
+    obs_f32 = np.asarray(np.asarray(grid, np.float32), np.float64)  # f32-rounded
+    ts = np.asarray(build_tstops((2010.0, 2011.0), 1.0 / 12.0, extra=obs_f32))
+    assert ts.shape[0] == 13, f"near-duplicates not merged: {ts.shape[0]} tstops"
+    # the data (f32-representable) representative survives: exact f32 match
+    np.testing.assert_array_equal(np.asarray(ts, np.float32),
+                                  np.asarray(obs_f32, np.float32))
+    # genuinely distinct times still get their own save points
+    ts2 = np.asarray(build_tstops((2010.0, 2011.0), 1.0 / 12.0,
+                                  extra=[2010.532]))
+    assert ts2.shape[0] == 14 and np.any(np.isclose(ts2, 2010.532))
