@@ -71,7 +71,10 @@ def main():
             physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
             simulation=SimulationParameters(tspan=(5.0, 7.0), use_MB=False,
                                             use_velocities=False, float_dtype="float32"),
-            solver=SolverParameters(step=1 / 12, substeps=1, solver="SI", cg_iters=20),
+            # remat off: the 128×24×128² trajectory fits HBM, and storing it
+            # beats recomputing intervals in the backward (~15% per epoch)
+            solver=SolverParameters(step=1 / 12, substeps=1, solver="SI", cg_iters=20,
+                                    remat=False),
             hyper=Hyperparameters(optimizer=opts, learning_rate=lrs, epochs=eps,
                                   batch_size=NG),   # FULL batch: one epoch = 128 glaciers
             UDE=UDEParameters(grad="jax", target="A"),

@@ -149,12 +149,18 @@ def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int 
 
 def integrate_semi_implicit(
     H0, B, dx, dy, values_fn, target, phys, tstops, substeps: int = 1,
-    cg_iters: int = 30, callback=None,
+    cg_iters: int = 30, callback=None, checkpoint: bool = True,
 ):
     """Semi-implicit integration saving at every tstop (integrate_scan-shaped).
 
     ``substeps`` semi-implicit steps per save interval control the O(Δt)
     splitting error (stability never requires more than 1).
+
+    ``checkpoint=False`` skips the per-interval rematerialization: the SI
+    backward already solves its adjoint through ``custom_linear_solve`` (no
+    CG unrolling), so storing the O(n_tstops) interval states instead of
+    recomputing them is a ~15% reverse-pass win when the trajectory fits
+    memory (measured r2: 0.117 → 0.100 s/epoch at 128×128² glaciers).
     """
     tstops = jnp.asarray(tstops, dtype=jnp.result_type(H0))
     t0s, t1s = tstops[:-1], tstops[1:]
@@ -173,6 +179,6 @@ def integrate_semi_implicit(
             H = callback(H, t0, t1, i)
         return H, H
 
-    body = jax.checkpoint(interval)
+    body = jax.checkpoint(interval) if checkpoint else interval
     _, traj = lax.scan(body, H0, (t0s, t1s, idxs))
     return jnp.concatenate([H0[None], traj], axis=0)

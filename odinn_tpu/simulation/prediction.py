@@ -89,7 +89,7 @@ def forward_glacier(
         return integrate_semi_implicit(
             H0, glacier.B, glacier.dx, glacier.dy, values_fn, target, phys, tstops,
             substeps=params.solver.substeps, cg_iters=params.solver.cg_iters,
-            callback=callback,
+            callback=callback, checkpoint=params.solver.remat,
         )
     if not periodic:
         return integrate_scan(
