@@ -78,6 +78,9 @@ def train_step(theta, opt_state, batch):
     return optax.apply_updates(theta, updates), opt_state, val
 
 
-for step in range(3):
+prev = None
+for step in range(6):
     theta, opt_state, val = train_step(theta, opt_state, batch)
-    print(f"step {step}: loss {float(val):.4e}")
+    d = "" if prev is None else f"  (delta {float(val) - prev:+.3e})"
+    print(f"step {step}: loss {float(val):.8e}{d}")
+    prev = float(val)
