@@ -23,8 +23,11 @@ if __name__ == "__main__":
         physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
         simulation=SimulationParameters(tspan=tspan, use_MB=False, use_velocities=False),
         solver=SolverParameters(step=1/12, substeps=20),
-        hyper=Hyperparameters(optimizer=("adam", "lbfgs", "lbfgs"),
-                              learning_rate=(0.05, 1.0, 1.0), epochs=(40, 120, 120)),
+        # staged Adam -> LBFGS -> Gauss-Newton: the LM tail reaches the
+        # same sub-1e-20 ratio the r1 double-LBFGS config needed 280
+        # iterations (27 min) for, in a fraction of the wall clock
+        hyper=Hyperparameters(optimizer=("adam", "lbfgs", "lm"),
+                              learning_rate=(0.05, 1.0, 1e-3), epochs=(40, 60, 15)),
         UDE=UDEParameters(grad="jax", target="A"))
     glaciers = [halfar_glacier(nx=40, ny=40, dx=120.0, temp=-15.0, rgi_id="c0"),
                 halfar_glacier(nx=40, ny=40, dx=120.0, temp=-25.0, rgi_id="c1")]
@@ -39,7 +42,8 @@ if __name__ == "__main__":
     L = res.stats.losses
     a_true = poly_A_paterson_cuffey()
     out = {"time_s": time.time()-t0, "niter": res.stats.niter,
-           "loss0": L[0], "loss_final": min(L), "ratio": min(L)/L[0]}
+           "loss0": L[0], "loss_final": res.stats.final_loss,
+           "ratio": res.stats.final_loss/L[0]}
     for gi, T in [(0, -15.0), (1, -25.0)]:
         a_nn = float(eval_law(model.iceflow.A, inv.theta, glaciers[gi], glacier_idx=gi))
         a_ref = float(a_true(jnp.asarray(T)))
