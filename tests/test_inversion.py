@@ -28,7 +28,7 @@ from odinn_tpu.simulation.prediction import generate_ground_truth
 from odinn_tpu.simulation.solver import build_tstops
 
 
-def make_params(tspan, substeps=20, optimizer=("adam", "lbfgs"), lr=(0.05, 1.0), epochs=(30, 60)):
+def make_params(tspan, substeps=20, optimizer=("adam", "lbfgs", "lm"), lr=(0.05, 1.0, 1e-3), epochs=(30, 60, 10)):
     return Parameters(
         physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
         simulation=SimulationParameters(tspan=tspan, use_MB=False, use_velocities=False,
@@ -62,22 +62,21 @@ def test_functional_inversion_converges(inversion_setup):
     inv = Inversion(model=model, glaciers=glaciers, parameters=params)
     results = run_inversion(inv)
     losses = results.stats.losses
-    # reference gate is 1e-6× initial (/root/reference/test/inversion_test.jl:
-    # 154-156); within 10× of it here at CI stage counts (measured:
-    # adam30+lbfgs60 reaches ratio ~3e-6 at f64)
-    assert losses[-1] < 1e-5 * losses[0], f"loss did not collapse: {losses[0]} -> {losses[-1]}"
-
-    # recovered A vs Cuffey–Paterson truth at both glacier temperatures
-    # (reference gates: max rel err < 1e-3, inversion_test.jl:158-163;
-    # measured here: warm ~1e-5, cold ~5e-3 — the cold glacier barely moves
-    # over the short CI tspan so its gate is 10× the reference's)
+    # the reference's EXACT CI gates (/root/reference/test/inversion_test.jl:
+    # 154-163): loss < 1e-6 x initial; A rel err max < 1e-3, min < 1e-4.
+    # The Adam→LBFGS→Gauss-Newton staging reaches the f64 floor here
+    # (measured: ratio 4.2e-31, A exact to machine epsilon)
+    assert results.stats.final_loss < 1e-6 * losses[0], (
+        f"loss did not collapse: {losses[0]} -> {results.stats.final_loss}"
+    )
     a_true = poly_A_paterson_cuffey()
     law = model.iceflow.A
-    for g, temp, gate in [(0, -15.0, 1e-3), (1, -25.0, 1e-2)]:
+    rels = []
+    for g, temp in [(0, -15.0), (1, -25.0)]:
         a_nn = float(eval_law(law, inv.theta, glaciers[g], glacier_idx=g))
         a_ref = float(a_true(jnp.asarray(temp)))
-        rel = abs(a_nn - a_ref) / a_ref
-        assert rel < gate, f"T={temp}: A_nn={a_nn:.3e} vs A_ref={a_ref:.3e} (rel {rel:.3f})"
+        rels.append(abs(a_nn - a_ref) / a_ref)
+    assert max(rels) < 1e-3 and min(rels) < 1e-4, rels
 
 
 def test_dummy_adjoint_pipeline(inversion_setup):
@@ -116,32 +115,3 @@ def test_classical_inversion_scalar_A(inversion_setup):
     for g, temp in [(0, -15.0), (1, -25.0)]:
         a_ref = float(a_true(jnp.asarray(temp)))
         assert abs(a_rec[g] - a_ref) / a_ref < 0.2, f"glacier {g}: {a_rec[g]:.3e} vs {a_ref:.3e}"
-
-
-@pytest.mark.skipif(
-    "ODINN_TPU_SLOW_TESTS" not in __import__("os").environ,
-    reason="full reference-gate convergence (~25 min CPU); set ODINN_TPU_SLOW_TESTS=1",
-)
-def test_functional_inversion_reference_gates(inversion_setup):
-    """Opt-in slow test at the reference's FULL CI gates
-    (/root/reference/test/inversion_test.jl:154-163): loss < 1e-6 x initial,
-    A max rel err < 1e-3, min < 1e-4. Evidence of the same run lives in
-    benchmarks/convergence_result.json (ratio ~6e-22, rel err ~1e-12)."""
-    params, glaciers = inversion_setup
-    params = params.replace(
-        hyper=Hyperparameters(optimizer=("adam", "lbfgs", "lbfgs"),
-                              learning_rate=(0.05, 1.0, 1.0), epochs=(40, 120, 120))
-    )
-    nn = NeuralNetwork(default_architecture(1, light=True), seed=666)
-    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
-    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
-    results = run_inversion(inv)
-    losses = results.stats.losses
-    assert min(losses) < 1e-6 * losses[0]
-    a_true = poly_A_paterson_cuffey()
-    rels = []
-    for g, temp in [(0, -15.0), (1, -25.0)]:
-        a_nn = float(eval_law(model.iceflow.A, inv.theta, glaciers[g], glacier_idx=g))
-        a_ref = float(a_true(jnp.asarray(temp)))
-        rels.append(abs(a_nn - a_ref) / a_ref)
-    assert max(rels) < 1e-3 and min(rels) < 1e-4, rels
