@@ -380,8 +380,12 @@ def write_glacier_nc(dirpath: str, glacier, longterm_temp: float) -> str:
             },
             coords={"time": months},
             var_attrs={
+                # total-months divmod: int(t0)-based month arithmetic yields
+                # month 13 for t0 fractions >= 23/24 (an invalid CF epoch)
                 "time": {
-                    "units": f"months since {int(t0)}-{int(round((t0 % 1) * 12)) + 1:02d}-01",
+                    "units": "months since {}-{:02d}-01".format(
+                        int(round(t0 * 12)) // 12, int(round(t0 * 12)) % 12 + 1
+                    ),
                     "calendar": "standard",
                 },
                 "temp": {"units": "degC"},

@@ -92,14 +92,50 @@ def _attach_velocity(g: Glacier, vd):
 
 def _downscale_glacier(g: Glacier, k: int) -> Glacier:
     """Apply gridScalingFactor coarsening to a loaded glacier (block-mean on
-    rasters, stride-mean on coordinates, dx/dy scaled)."""
+    rasters, stride-mean on coordinates, dx/dy scaled).
+
+    Every grid-aligned attachment is coarsened with the glacier — gridded
+    long-term temperatures, thickness/velocity/dhdt observations — so losses
+    and gridded-temperature laws stay shape-consistent at k > 1.
+    """
     if k <= 1:
         return g
+    import dataclasses as _dc
 
     def down1d(v):
+        if v is None:
+            return None
         v = np.asarray(v)
         m = (v.shape[0] // k) * k
         return jnp.asarray(v[:m].reshape(-1, k).mean(axis=1))
+
+    def down_cube(a):
+        """Block-mean each frame of a (t, nx, ny) stack (or a single frame)."""
+        if a is None:
+            return None
+        a = np.asarray(a)
+        if a.ndim == 2:
+            return jnp.asarray(_downscale(a, k))
+        return jnp.asarray(np.stack([_downscale(f, k) for f in a]))
+
+    clim = g.climate
+    if clim is not None and getattr(clim, "longterm_temps_gridded", None) is not None:
+        clim = _dc.replace(clim, longterm_temps_gridded=down_cube(clim.longterm_temps_gridded))
+    td = g.thickness_data
+    if td is not None and td.H is not None:
+        td = _dc.replace(td, H=down_cube(td.H))
+    vd = g.velocity_data
+    if vd is not None and vd.vx is not None:
+        if not vd.is_grid_glacier_aligned:
+            raise ValueError(
+                "grid_scaling_factor > 1 with an unaligned velocity datacube: "
+                "regrid onto the glacier first (core.glacier.regrid_velocity_data)"
+            )
+        vd = _dc.replace(vd, vx=down_cube(vd.vx), vy=down_cube(vd.vy),
+                         vabs=down_cube(vd.vabs), x=down1d(vd.x), y=down1d(vd.y))
+    dd = g.dhdt_data
+    if dd is not None and dd.dhdt is not None:
+        dd = _dc.replace(dd, dhdt=down_cube(dd.dhdt))
 
     return g.replace(
         H0=jnp.asarray(_downscale(np.asarray(g.H0), k)),
@@ -109,6 +145,10 @@ def _downscale_glacier(g: Glacier, k: int) -> Glacier:
         dy=jnp.asarray(float(g.dy) * k),
         coords_x=down1d(g.coords_x),
         coords_y=down1d(g.coords_y),
+        climate=clim,
+        thickness_data=td,
+        velocity_data=vd,
+        dhdt_data=dd,
     )
 
 

@@ -70,10 +70,11 @@ def make_residual_fn(model, params, tstops):
         H_obs = jnp.asarray(td.H)
 
         def at(tau):
+            from odinn_tpu.simulation.observations import match_time
+
             t = tstops[tau]
-            k = jnp.argmin(jnp.abs(t_obs - t))
+            k, valid = match_time(t_obs, t, traj.dtype)
             h_ref = H_obs[k]
-            valid = (jnp.abs(t_obs[k] - t) < 1e-6 + 2e-6 * jnp.abs(t)).astype(traj.dtype)
             mask = is_in_glacier(h_ref, distance).astype(traj.dtype)
             w = sum(weights) * dts[tau - 1] * valid / npix
             return jnp.sqrt(w * mask) * (traj[tau] - h_ref)

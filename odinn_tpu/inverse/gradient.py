@@ -126,18 +126,11 @@ def _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
         def velocity_fn(h, t):
             return v_from_h(h, glacier.B, glacier.dx, glacier.dy, vfn, model.target, params.physical)
 
+        from odinn_tpu.simulation.observations import thickness_at, velocity_at
+
         t = tstops[tau]
-        h_ref, h_valid = None, 1.0
-        if td is not None:
-            k = jnp.argmin(jnp.abs(td.t - t))
-            h_ref = td.H[k]
-            h_valid = (jnp.abs(td.t[k] - t) < 1e-6 + 2e-6 * jnp.abs(t)).astype(H.dtype)
-        v_ref = vx_ref = vy_ref = None
-        v_valid = 1.0
-        if vd is not None and vd.vabs is not None and vd.vabs.ndim == 3:
-            kv = jnp.argmin(jnp.abs(vd.t - t))
-            v_ref, vx_ref, vy_ref = vd.vabs[kv], vd.vx[kv], vd.vy[kv]
-            v_valid = (jnp.abs(vd.t[kv] - t) < 1e-6 + 2e-6 * jnp.abs(t)).astype(H.dtype)
+        h_ref, h_valid = thickness_at(td, t, H.dtype)
+        v_ref, vx_ref, vy_ref, v_valid = velocity_at(vd, t, H.dtype)
 
         ctx = LossContext(
             H_ref=h_ref,

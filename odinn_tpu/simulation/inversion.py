@@ -122,18 +122,11 @@ def glacier_transient_loss(theta, glacier, glacier_idx, model, params, tstops):
             """Loss at save index τ; observations are matched by *time* (the
             reference's per-tstop data lookup with isnothing(H_ref) skips,
             Losses.jl:262-267), so tstops may be a superset of the data grid."""
+            from odinn_tpu.simulation.observations import thickness_at, velocity_at
+
             t = tstops[tau]
-            h_ref, h_valid = (None, 1.0)
-            if td is not None:
-                k = jnp.argmin(jnp.abs(td.t - t))
-                h_ref = td.H[k]
-                h_valid = (jnp.abs(td.t[k] - t) < 1e-6 + 2e-6 * jnp.abs(t)).astype(traj.dtype)
-            v_ref = vx_ref = vy_ref = None
-            v_valid = 1.0
-            if vd is not None and vd.vabs is not None and vd.vabs.ndim == 3:
-                kv = jnp.argmin(jnp.abs(vd.t - t))
-                v_ref, vx_ref, vy_ref = vd.vabs[kv], vd.vx[kv], vd.vy[kv]
-                v_valid = (jnp.abs(vd.t[kv] - t) < 1e-6 + 2e-6 * jnp.abs(t)).astype(traj.dtype)
+            h_ref, h_valid = thickness_at(td, t, traj.dtype)
+            v_ref, vx_ref, vy_ref, v_valid = velocity_at(vd, t, traj.dtype)
             ctx = make_ctx(H_ref=h_ref, V_ref=v_ref, Vx_ref=vx_ref, Vy_ref=vy_ref)
             acc = jnp.asarray(0.0, traj.dtype)
             from odinn_tpu.losses.losses import LossH as _LH, LossV as _LV
@@ -479,6 +472,7 @@ def train_ude(
 
             resid = make_residual_fn(model, params, tstops)
             t_stage = time.time()
+            n_before = stats.niter
 
             def rec(v, th, gn):
                 _record(stats, v, th, gn, 0.0)
@@ -489,8 +483,12 @@ def train_ude(
                                         cg_iters=params.hyper.gn_cg_iters,
                                         init_damping=lr, record=rec)
             stage_wall = time.time() - t_stage
-            n_rec = max(len(lm_losses), 1)
-            stats.time_per_iter.extend([stage_wall / n_rec] * n_rec)
+            # rec() appended one dt=0.0 entry per record; overwrite them with
+            # the stage's mean per-iteration wall time so len(time_per_iter)
+            # stays == niter
+            n_rec = stats.niter - n_before
+            if n_rec > 0:
+                stats.time_per_iter[-n_rec:] = [stage_wall / n_rec] * n_rec
             # LM's accept rule is monotone, so the returned θ is the stage's
             # best iterate; fold into the global best (host-side scalars)
             _init_best(theta)
@@ -556,6 +554,29 @@ def _record(stats: TrainingStats, val, theta, gnorm, dt):
         print(f"[odinn_tpu] WARNING: gradient norm {gnorm:.3e} > 1e7")
 
 
-def run_inversion(inversion: Inversion, callback=None) -> Results:
-    """``run!(::Inversion)`` equivalent (inversion_utils.jl:21-88)."""
-    return train_ude(inversion, callback=callback)
+def run_inversion(inversion: Inversion, callback=None,
+                  path: Optional[str] = None,
+                  file_name: Optional[str] = None) -> Results:
+    """``run!(::Inversion)`` equivalent (inversion_utils.jl:21-88).
+
+    With ``path``/``file_name`` set, the trained result is auto-saved as a
+    :class:`~odinn_tpu.utils.io.TrainingResult` — the reference's
+    run!-embedded persistence (``run!(inversion; path, file_name)``,
+    /root/reference/test/inversion_test.jl:110-122).
+    """
+    results = train_ude(inversion, callback=callback)
+    if path is not None or file_name is not None:
+        import os
+
+        from odinn_tpu.utils.io import TrainingResult, save_inversion_file
+
+        full = os.path.join(path or ".", file_name or "training_result.msgpack")
+        save_inversion_file(full, TrainingResult(
+            theta=results.stats.theta,
+            grad_norm_hist=results.stats.grad_norm_hist,
+            losses=results.stats.losses,
+            params_meta={"niter": results.stats.niter,
+                         "final_loss": results.stats.final_loss,
+                         "retcode": results.stats.retcode},
+        ))
+    return results

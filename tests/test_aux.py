@@ -160,3 +160,42 @@ def test_custom_mlp_mb_roundtrip(tmp_path):
 
     with pytest.raises(RuntimeError):
         download_MLP()
+
+
+def test_run_inversion_autosaves(tmp_path):
+    """run_inversion(path=, file_name=) persists a TrainingResult as part of
+    the run — the reference's run!(inversion; path, file_name) auto-save
+    (/root/reference/test/inversion_test.jl:110-122)."""
+    from odinn_tpu.core.params import (Hyperparameters, SolverParameters,
+                                       UDEParameters)
+    from odinn_tpu.laws.laws import ConstantA, LawA_inversion
+    from odinn_tpu.models.model import Model, SIA2DModel
+    from odinn_tpu.simulation.inversion import Inversion, run_inversion
+    from odinn_tpu.simulation.prediction import generate_ground_truth
+    from odinn_tpu.simulation.solver import build_tstops
+    from odinn_tpu.utils.io import load_inversion_file
+
+    params = Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=(5.0, 5.5), use_MB=False,
+                                        use_velocities=False),
+        solver=SolverParameters(step=1.0 / 12.0, solver="SI", cg_iters=15),
+        hyper=Hyperparameters(optimizer=("adam",), learning_rate=(0.05,), epochs=(3,)),
+        UDE=UDEParameters(grad="jax", target="A"),
+    )
+    glaciers = [halfar_glacier(nx=24, ny=24, dx=150.0, temp=-15.0, rgi_id="p1")]
+    tstops = build_tstops(params.simulation.tspan, params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=ConstantA(4e-18)))
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    res = run_inversion(inv, path=str(tmp_path), file_name="inv_result.msgpack")
+
+    full = os.path.join(str(tmp_path), "inv_result.msgpack")
+    assert os.path.exists(full)
+    back = load_inversion_file(full)
+    np.testing.assert_allclose(np.asarray(back.theta["A"]),
+                               np.asarray(inv.theta["A"]))
+    assert len(back.losses) == res.stats.niter
+    assert back.params_meta["retcode"] == "Success"

@@ -72,6 +72,7 @@ def test_residual_squares_to_loss():
     np.testing.assert_allclose(loss_sq, loss_ref, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_lm_collapses_loss_after_adam():
     """15 LM iterations gain ≥15× over their Adam warm-start (measured
     ~27×; each LM iteration ≈ cg_iters+2 gradient-equivalents, and Adam with

@@ -55,6 +55,7 @@ def inversion_setup():
     return params, glaciers
 
 
+@pytest.mark.slow
 def test_functional_inversion_converges(inversion_setup):
     params, glaciers = inversion_setup
     nn = NeuralNetwork(default_architecture(1, light=True), seed=666)

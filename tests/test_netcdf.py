@@ -189,3 +189,46 @@ def test_velocity_datacube_nc_roundtrip_and_regrid(tmp_path):
     assert g2.velocity_data.is_grid_glacier_aligned
     inner = np.asarray(g2.velocity_data.vx)[:, 5:-5, 5:-5]
     assert inner.min() > 9.0 and inner.max() < 12.0   # interpolated, not extrapolated
+
+
+def test_downscale_coarsens_attached_observations(tmp_path):
+    """grid_scaling_factor > 1 must coarsen EVERY grid-aligned attachment —
+    gridded long-term temps, thickness/velocity/dhdt observations — not just
+    H0/B/mask, or gridded-temp laws and LossV/dhdt losses see shape
+    mismatches (the reference applies gridScalingFactor at load time to the
+    whole glacier, test/test_grad_loss.jl:119)."""
+    import dataclasses
+
+    from odinn_tpu.core.glacier import (DhdtData, SurfaceVelocityData,
+                                        ThicknessData)
+    from odinn_tpu.data.rgi import _downscale_glacier, initialize_glaciers
+
+    ids = generate_synthetic_oggm_dir(str(tmp_path), n=1, nx=40, ny=40, seed=7)
+    params = Parameters(simulation=SimulationParameters(tspan=(2010.0, 2012.0)))
+    g = initialize_glaciers(ids, params, prepro_dir=str(tmp_path))[0]
+    nx, ny = g.H0.shape
+
+    H_obs = jnp.stack([g.H0, g.H0 * 1.1])
+    vcube = jnp.ones((3, nx, ny)) * 7.0
+    g = g.replace(
+        thickness_data=ThicknessData(t=jnp.asarray([2010.0, 2011.0]), H=H_obs),
+        velocity_data=SurfaceVelocityData(
+            t=jnp.asarray([2010.0, 2010.5, 2011.0]), vx=vcube, vy=vcube,
+            vabs=vcube, x=g.coords_x, y=g.coords_y,
+        ),
+        dhdt_data=DhdtData(t1=jnp.asarray(2010.0), t2=jnp.asarray(2011.0),
+                           dhdt=jnp.ones((nx, ny))),
+    )
+    g2 = _downscale_glacier(g, 2)
+    assert g2.H0.shape == (nx // 2, ny // 2)
+    assert g2.climate.longterm_temps_gridded.shape[-2:] == (nx // 2, ny // 2)
+    assert g2.thickness_data.H.shape == (2, nx // 2, ny // 2)
+    assert g2.velocity_data.vx.shape == (3, nx // 2, ny // 2)
+    assert g2.velocity_data.x.shape[0] == nx // 2
+    assert g2.dhdt_data.dhdt.shape == (nx // 2, ny // 2)
+    np.testing.assert_allclose(np.asarray(g2.velocity_data.vabs), 7.0)
+    # unaligned cubes must be regridded before coarsening — loud error
+    g3 = g.replace(velocity_data=dataclasses.replace(
+        g.velocity_data, is_grid_glacier_aligned=False))
+    with pytest.raises(ValueError):
+        _downscale_glacier(g3, 2)
