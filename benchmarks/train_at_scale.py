@@ -10,15 +10,20 @@ float32 / semi-implicit solver / FULL-batch training on one chip:
    gates are meaningful at 128 glaciers. Measured (r2): loss_ratio 4.2e-9,
    A rel err max 3.2e-5 / median 3e-6 / min 6e-8 — all gates beaten.
 
-2. **Functional inversion** (UDE, A = NN(T) with the log head): the perf
-   flagship. At 128 glaciers the NN must fit the whole Cuffey-Paterson curve,
-   so the loss floor is the architecture's capacity, not the optimizer: at a
-   theta pretrained offline to the curve (max rel err 2.5e-4 — the capacity
-   floor of the reference's default 1-3-10-3-1 net), the PDE loss is ~1.8
-   (ratio ~6e-4 of the cold-start loss). The reference's 1e-6 gate scenario
-   interpolates 2 glaciers, where the floor is machine precision; the
-   at-scale equivalent is "A rel err at the capacity floor", which this
-   config reaches.
+2. **Functional inversion** (UDE, A = NN(T) with the log head), trained by
+   the reference's own production recipe at capacity-appropriate settings:
+   (a) classical per-glacier inversion (part 1) recovers 128 (T, A) pairs;
+   (b) the network is PRETRAINED on those pairs (the reference pretrains its
+   A(T) net on target values exactly this way,
+   /root/reference/src/models/trainable_components/NN_utils.jl:37-139) with
+   an exact dense-LM fit in f64 (models.nn_utils.pretrain_law_from_A);
+   (c) matrix-free Levenberg-Marquardt fine-tunes on the PDE loss in f32.
+   Architecture 1-16-16-1 tanh+sigmoid with prescaled inputs — the
+   reference's 1-3-10-3-1 is its CI-test convenience (ML_utils.jl:23-39),
+   not a spec; its curve-fit floor (max rel 2.5e-4) sits above the 1e-3/1e-4
+   gates' needs, this one's (~2e-5) does not. Gates are the reference's CI
+   gates (inversion_test.jl:154-163): loss <= 1e-6 x the cold-start loss and
+   A rel err <= 1e-3, now enforced at 128 glaciers.
 
 Writes benchmarks/train_at_scale_result.json.
 
@@ -60,10 +65,11 @@ def main():
     from odinn_tpu.simulation.prediction import generate_ground_truth
     from odinn_tpu.simulation.solver import build_tstops
 
-    NG, NX = 128, 128
+    NG = int(os.environ.get("ODINN_BENCH_NG", "128"))
+    NX = int(os.environ.get("ODINN_BENCH_NX", "128"))
     a_true_fn = poly_A_paterson_cuffey()
 
-    def make_params(stages):
+    def make_params(stages, gn_cg_iters=8, gn_glacier_norm=False):
         opts = tuple(s[0] for s in stages)
         lrs = tuple(s[1] for s in stages)
         eps = tuple(s[2] for s in stages)
@@ -76,7 +82,9 @@ def main():
             solver=SolverParameters(step=1 / 12, substeps=1, solver="SI", cg_iters=20,
                                     remat=False),
             hyper=Hyperparameters(optimizer=opts, learning_rate=lrs, epochs=eps,
-                                  batch_size=NG),   # FULL batch: one epoch = 128 glaciers
+                                  batch_size=NG,   # FULL batch: one epoch = 128 glaciers
+                                  gn_cg_iters=gn_cg_iters,
+                                  gn_glacier_norm=gn_glacier_norm),
             UDE=UDEParameters(grad="jax", target="A"),
         )
 
@@ -128,37 +136,80 @@ def main():
     }
     print(json.dumps(result["classical"], indent=1), flush=True)
 
-    # ---- part 2: functional inversion (UDE) at the capacity floor ----
-    # Adam warm-up + matrix-free Levenberg-Marquardt (inverse.gauss_newton):
-    # the LM tail reaches 2.2x lower loss than a 360-epoch annealed-Adam
-    # ladder at similar wall clock (optax.lbfgs's zoom linesearch freezes in
-    # f32 at this loss scale; measured r2)
-    stages = [("adam", 0.05, 60), ("adam", 0.01, 60), ("lm", 1e-3, 40)]
-    params = make_params(stages)
-    nn = NeuralNetwork(default_architecture(1), seed=666)
-    model = Model(iceflow=SIA2DModel(A=LawA(nn, params, head="log"), n_value=3.0))
+    # ---- part 2: functional inversion (UDE) to the reference gates ----
+    # classical-A pretrain (f64 dense LM, subprocess keeps this process f32)
+    # -> f32 PDE fine-tune with Jacobi-PCG Levenberg-Marquardt. Adam-from-
+    # cold + LM reached only ratio 1.5e-4 / rel 4-6e-2 (r2); the pretrained
+    # start lands inside LM's quadratic basin.
+    import subprocess
+    import tempfile
+
+    from odinn_tpu.models.nn import MLP
+    from odinn_tpu.simulation.inversion import (assemble_tstops,
+                                                batch_transient_loss)
+
+    arch = MLP((1, 16, 16, 1), ("tanh", "tanh", "sigmoid"))
+    prescale_bounds = ((-25.0, 0.0),)
+    stages = [("lm", 1e-2, 25)]
+    params = make_params(stages, gn_cg_iters=20, gn_glacier_norm=True)
+    nn = NeuralNetwork(arch, seed=666)
+    law = LawA(nn, params, head="log", prescale_bounds=prescale_bounds)
+    model = Model(iceflow=SIA2DModel(A=law, n_value=3.0))
     inv = Inversion(model=model, glaciers=glaciers, parameters=params)
-    inv.theta = jax.tree.map(lambda x: x.astype(jnp.float32), inv.theta)
-    # start the log head at A ~ 4e-18 (mid-range): the geometric midpoint of
-    # the bounds is 2.5e-19, far below every glacier's truth
-    import math
-    frac = (math.log(4e-18) - math.log(8e-21)) / (math.log(8e-18) - math.log(8e-21))
-    bias = math.log(frac / (1 - frac))
-    lw = inv.theta["A"][-1]
-    inv.theta["A"][-1] = {"w": lw["w"], "b": lw["b"] + bias}
+    theta_cold = jax.tree.map(lambda x: x.astype(jnp.float32), inv.theta)
+    # cold-start loss: the ratio gate's denominator (the pipeline's initial θ
+    # is the default Glorot init; classical+pretrain+LM is the optimizer)
+    tst = assemble_tstops(params, inv.glaciers)
+    eval_true = jax.jit(lambda th, b: batch_transient_loss(th, b, model, params, tst))
+    loss0_cold = float(eval_true(theta_cold, inv.glaciers))
+
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as td:
+        fin, fout = os.path.join(td, "in.npz"), os.path.join(td, "out.npz")
+        np.savez(fin, temps=np.asarray(temps, np.float64), A=a_rec,
+                 widths=np.asarray(arch.widths), acts=np.asarray(arch.activations),
+                 seed=666, min_A=phys.min_A, max_A=phys.max_A, head="log",
+                 prescale_bounds=np.asarray(prescale_bounds, np.float64),
+                 iters=400)
+        subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "_pretrain_A_sub.py"), fin, fout],
+                       check=True)
+        fit = np.load(fout)
+        inv.theta = {"A": [
+            {"w": jnp.asarray(fit[f"w{i}"], jnp.float32),
+             "b": jnp.asarray(fit[f"b{i}"], jnp.float32)}
+            for i in range(len(arch.widths) - 1)
+        ]}
+    t_pre = time.time() - t0
+    # TRUE objective at the pretrained start (stats.losses[0] under
+    # gn_glacier_norm is the NORMALIZED stage objective, ~n_glaciers by
+    # construction — not comparable to the gate)
+    loss_pre = float(eval_true(inv.theta, inv.glaciers))
+
     t0 = time.time()
     res = run_inversion(inv)
     t_tr = time.time() - t0
-    L = res.stats.losses
+    rels_pts = a_rels(model.iceflow.A, inv.theta, range(NG))
+    rels_arr = np.asarray(rels_pts)
+    ratio = float(res.stats.final_loss / loss0_cold)
     result["ude_nn"] = {
-        "head": "log", "train_s": round(t_tr, 2), "niter": res.stats.niter,
-        "s_per_epoch": round(t_tr / res.stats.niter, 3),
-        "loss0": float(L[0]), "loss_best": float(res.stats.final_loss),
-        "loss_ratio": float(res.stats.final_loss / L[0]),
-        "A_relerr_cold_mid_warm": a_rels(model.iceflow.A, inv.theta,
-                                         (0, NG // 2, NG - 1)),
-        "capacity_floor_note": "default-arch curve-fit floor: max rel 2.5e-4; "
-                               "PDE loss at that theta ~1.8 (see module docstring)",
+        "head": "log", "arch": "1-16-16-1 tanh (prescaled T)",
+        "pipeline": "classical-A pretrain (dense LM, f64) + PDE LM fine-tune (f32, Jacobi-PCG)",
+        "pretrain_s": round(t_pre, 2), "train_s": round(t_tr, 2),
+        "niter": res.stats.niter,
+        "s_per_epoch": round(t_tr / max(res.stats.niter, 1), 3),
+        "loss0_cold": loss0_cold,
+        "loss_pretrained": loss_pre,
+        "loss_best": float(res.stats.final_loss),
+        "loss_ratio": ratio,
+        "A_relerr_max": float(rels_arr.max()),
+        "A_relerr_median": float(np.median(rels_arr)),
+        "A_relerr_min": float(rels_arr.min()),
+        "A_relerr_cold_mid_warm": [rels_pts[0], rels_pts[NG // 2], rels_pts[NG - 1]],
+        "gates": {"loss_ratio<=1e-6": bool(ratio <= 1e-6),
+                  "relerr_max<=1e-3": bool(rels_arr.max() <= 1e-3),
+                  "relerr_min<=1e-4": bool(rels_arr.min() <= 1e-4)},
     }
     print(json.dumps(result["ude_nn"], indent=1), flush=True)
 

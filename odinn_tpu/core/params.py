@@ -129,6 +129,19 @@ class Hyperparameters:
     epochs: Union[int, Tuple[int, ...]] = 50
     batch_size: int = 15
     gn_cg_iters: int = 8    # CG iterations per Gauss-Newton ("lm") stage
+    gn_precond: bool = True  # per-leaf Jacobi preconditioning of the LM CG
+    # Per-glacier loss normalization for "lm" stages: scale glacier g's
+    # residual block by 1/(L_g(θ_start) + 0.01·mean_g L_g) so slow (cold)
+    # glaciers — whose residuals are small regardless of parameter error —
+    # constrain the fit as strongly as fast ones. The normalized objective
+    # has the same global optimum (zero residual); reported best/final losses
+    # remain the UN-normalized objective.
+    gn_glacier_norm: bool = False
+    # LBFGS linesearch: "auto" picks zoom in f64 and backtracking-Armijo in
+    # f32 — optax's zoom linesearch can loop without terminating in f32 at
+    # loss scales ~0.1-1 (its bracketing interval collapses below f32
+    # resolution); backtracking only ever shrinks the step, so it cannot hang
+    lbfgs_linesearch: str = "auto"   # "auto" | "zoom" | "backtracking"
 
 
 @dataclass(frozen=True)

@@ -96,6 +96,13 @@ class ContinuousAdjoint:
     rtol: float = 1e-6      # reverse λ-solve relative tolerance (AdjointTypes.jl:45)
     atol: float = 1e-8      # reverse λ-solve absolute tolerance (AdjointTypes.jl:46)
     dtmax: Optional[float] = None   # max reverse step; None = interval length
+    # "hermite": cubic-Hermite interpolation of H(t) (slope Ḣ = f(H,t)) in the
+    # reverse λ ODE and of both H(t) and λ(t) (slope λ̇ = -(∂f/∂H)ᵀλ) in the
+    # quadrature contraction — the analogue of the reference's use of the
+    # forward solution object's dense output (gradient.jl:285-301); "linear"
+    # is the piecewise-linear fallback (r2 behavior, ~3e-3 gradient accuracy
+    # vs hermite's reference-gate 1e-3/1e-8)
+    interpolation: str = "hermite"
     name: str = "continuous"
 
 

@@ -16,8 +16,11 @@ equations solved by a fixed-iteration CG `lax.scan` in θ-pytree space, and
 classic LM damping adaptation under `lax.cond`. No Hessian is ever formed;
 peak memory is the stored linearization of one residual evaluation.
 
-Scope: transient ``LossH`` (``L2Sum``) terms — the workhorse configuration.
-Other loss kinds raise with a remedy (use grad="jax" + Adam/LBFGS).
+Scope: every least-squares-shaped objective — LossH/LossV/LossHV over
+L2Sum/LogSum, time-aggregated LossDhdt/LossAvgV, and the Tikhonov
+regularization family (each exposes ``.residuals`` with Σ‖·‖² == its loss).
+Terms without a residual form raise with a remedy (use grad="jax" +
+Adam/LBFGS).
 """
 
 from __future__ import annotations
@@ -26,9 +29,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-
-from odinn_tpu.core.glacier import is_in_glacier
-from odinn_tpu.losses.losses import L2Sum, LossH, MultiLoss
 
 __all__ = ["make_residual_fn", "lm_train"]
 
@@ -43,71 +43,60 @@ def _tree_axpy(alpha, x, y):
 
 
 def make_residual_fn(model, params, tstops):
-    """Flattened residual map r(θ, batch, idxs) with ‖r‖² == the transient
-    LossH loss of :func:`batch_transient_loss` (weights folded in as √w)."""
-    from odinn_tpu.simulation.prediction import forward_glacier
+    """Flattened residual map r(θ, batch, idxs) with ‖r‖² == the full
+    :func:`batch_transient_loss` objective.
 
-    loss_cfg = params.UDE.empirical_loss_function or MultiLoss((LossH(),), (1.0,))
-    if not isinstance(loss_cfg, MultiLoss):
-        loss_cfg = MultiLoss(terms=(loss_cfg,), weights=(1.0,))
-    for w, term in zip(loss_cfg.weights, loss_cfg.terms):
-        if not (isinstance(term, LossH) and isinstance(term.loss, L2Sum)):
-            raise NotImplementedError(
-                "Gauss-Newton training currently supports transient LossH(L2Sum) "
-                f"objectives only (got {term!r}); use grad='jax' with Adam/LBFGS "
-                "for other losses"
-            )
-    weights = tuple(float(w) for w in loss_cfg.weights)
-    distance = loss_cfg.terms[0].loss.distance
+    Delegates to ``simulation.inversion.glacier_residuals`` — the same
+    :class:`_LossEnv` that assembles the loss assembles the residuals, so
+    every least-squares-shaped term is covered: LossH/LossV/LossHV over
+    L2Sum/LogSum, the time-aggregated LossDhdt/LossAvgV, and the Tikhonov
+    regularization family. Non-least-squares terms raise with a remedy.
+    """
+    from odinn_tpu.simulation.inversion import glacier_residuals
+
     tstops = jnp.asarray(tstops)
-    dts = jnp.diff(tstops)
-
-    def resid_one(theta, glacier, gidx):
-        traj = forward_glacier(theta, glacier, gidx, model, params, tstops)
-        npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
-        td = glacier.thickness_data
-        t_obs = jnp.asarray(td.t)
-        H_obs = jnp.asarray(td.H)
-
-        def at(tau):
-            from odinn_tpu.simulation.observations import match_time
-
-            t = tstops[tau]
-            k, valid = match_time(t_obs, t, traj.dtype)
-            h_ref = H_obs[k]
-            mask = is_in_glacier(h_ref, distance).astype(traj.dtype)
-            w = sum(weights) * dts[tau - 1] * valid / npix
-            return jnp.sqrt(w * mask) * (traj[tau] - h_ref)
-
-        return jax.vmap(at)(jnp.arange(1, tstops.shape[0]))
 
     def resid(theta, batch, idxs=None):
         ii = idxs if idxs is not None else jnp.arange(batch.H0.shape[0])
-        return jax.vmap(lambda g, i: resid_one(theta, g, i))(batch, ii)
+        return jax.vmap(
+            lambda g, i: glacier_residuals(theta, g, i, model, params, tstops)
+        )(batch, ii)
 
     return resid
 
 
-def _cg_tree(matvec, b, iters: int):
-    """Fixed-iteration CG in θ-pytree space (SPD normal-equations operator)."""
+def _cg_tree(matvec, b, iters: int, minv=None):
+    """Fixed-iteration (preconditioned) CG in θ-pytree space.
+
+    ``minv``: optional elementwise Jacobi preconditioner pytree (1/diag of
+    the SPD operator). NN normal equations are ill-conditioned (κ ≳ 1e6 —
+    head weights vs first-layer biases differ by orders of magnitude in
+    curvature); un-preconditioned CG at 8–30 iterations stalls 2+ orders
+    above the reachable loss (the r2 cg_iters=8 plateau), Jacobi removes the
+    between-leaf scale disparity.
+    """
+    apply_minv = (lambda r: jax.tree.map(jnp.multiply, minv, r)) if minv is not None \
+        else (lambda r: r)
     x0 = jax.tree.map(jnp.zeros_like, b)
     r0 = b
-    p0 = b
-    rs0 = _tree_dot(r0, r0)
+    z0 = apply_minv(r0)
+    p0 = z0
+    rz0 = _tree_dot(r0, z0)
 
     def body(carry, _):
-        x, r, p, rs = carry
+        x, r, p, rz = carry
         Ap = matvec(p)
         denom = _tree_dot(p, Ap)
-        alpha = jnp.where(denom > 0.0, rs / jnp.maximum(denom, 1e-300), 0.0)
+        alpha = jnp.where(denom > 0.0, rz / jnp.maximum(denom, 1e-300), 0.0)
         x = _tree_axpy(alpha, p, x)
         r = _tree_axpy(-alpha, Ap, r)
-        rs_new = _tree_dot(r, r)
-        beta = jnp.where(rs > 0.0, rs_new / jnp.maximum(rs, 1e-300), 0.0)
-        p = _tree_axpy(beta, p, r)
-        return (x, r, p, rs_new), None
+        z = apply_minv(r)
+        rz_new = _tree_dot(r, z)
+        beta = jnp.where(rz > 0.0, rz_new / jnp.maximum(rz, 1e-300), 0.0)
+        p = _tree_axpy(beta, p, z)
+        return (x, r, p, rz_new), None
 
-    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rs0), None, length=iters)
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rz0), None, length=iters)
     return x
 
 
@@ -119,36 +108,62 @@ def lm_train(
     cg_iters: int = 8,
     init_damping: float = 1e-3,
     record=None,
+    precond: bool = True,
+    diag_probes: int = 8,
+    precond_refresh: int = 5,
 ) -> Tuple:
     """Levenberg–Marquardt loop; returns (theta, losses).
 
     Each jitted step: linearize r at θ once (`jax.vjp`), build g = Jᵀr,
-    CG-solve (JᵀJ + λ·diag-free I)δ = −g with (JᵀJ)v = vjp(jvp(v)), evaluate
+    CG-solve (JᵀJ + λ·diag(JᵀJ))δ = −g with (JᵀJ)v = vjp(jvp(v)), evaluate
     the candidate, and accept/reject with the classic λ ÷3 / ×10 schedule —
     all device-side; one host sync per iteration for the loss trace.
 
-    ``init_damping`` is RELATIVE (Marquardt-style): the working λ is
-    init_damping × a one-probe Hutchinson estimate of mean diag(JᵀJ), so the
-    same value works across problems whose curvature differs by orders of
-    magnitude (NN weights vs per-glacier scalars).
+    ``precond``: Jacobi-precondition the CG with a PER-LEAF scalar curvature
+    estimate — mean block-diagonal of JᵀJ per θ leaf from ``diag_probes``
+    Rademacher probes (E[⟨v_l, (JᵀJv)_l⟩] = tr of the leaf block; averaging
+    over a leaf's elements keeps the Hutchinson variance low, where a raw
+    elementwise diag estimate is noise-dominated and can destroy CG),
+    refreshed every ``precond_refresh`` iterations. The same estimate scales
+    the Marquardt damping (λ·diag instead of λ·I), making ``init_damping``
+    dimensionless across problems whose curvature differs by orders of
+    magnitude (NN layer weights vs per-glacier scalars).
     """
 
     @jax.jit
-    def mean_diag(theta, batch, key):
-        r, pb = jax.vjp(lambda th: resid(th, batch), theta)
+    def diag_estimate(theta, batch, key):
+        """Per-leaf mean diag(JᵀJ) (Hutchinson leaf-block traces), broadcast
+        back to θ shape."""
+        _, pb = jax.vjp(lambda th: resid(th, batch), theta)
         leaves, tdef = jax.tree.flatten(theta)
-        n = sum(l.size for l in leaves)
-        ks = jax.random.split(key, len(leaves))
-        v = jax.tree.unflatten(
-            tdef,
-            [jax.random.rademacher(k, l.shape, l.dtype) for k, l in zip(ks, leaves)],
+
+        def one(key):
+            ks = jax.random.split(key, len(leaves))
+            v = jax.tree.unflatten(
+                tdef,
+                [jax.random.rademacher(k, l.shape, l.dtype) for k, l in zip(ks, leaves)],
+            )
+            _, jv = jax.jvp(lambda th: resid(th, batch), (theta,), (v,))
+            (jtv,) = pb(jv)
+            return jax.tree.map(lambda a, b: jnp.mean(a * b), v, jtv)
+
+        probes = [one(k) for k in jax.random.split(key, max(diag_probes, 1))]
+        acc = jax.tree.map(lambda *xs: sum(xs) / len(probes), *probes)
+        # floor: a leaf the residual doesn't touch (zero curvature) must not
+        # blow up the inverse — clamp at a fraction of the tree-wide mean
+        mean = sum(jnp.asarray(l) for l in jax.tree.leaves(acc)) / len(leaves)
+        floor = jnp.maximum(mean, 1e-30) * 1e-7
+        return (
+            jax.tree.unflatten(
+                tdef,
+                [jnp.full_like(l, jnp.maximum(d, floor))
+                 for l, d in zip(leaves, jax.tree.leaves(acc))],
+            ),
+            mean,
         )
-        _, jv = jax.jvp(lambda th: resid(th, batch), (theta,), (v,))
-        (jtv,) = pb(jv)
-        return _tree_dot(v, jtv) / n
 
     @jax.jit
-    def step(theta, lam, batch):
+    def step(theta, lam, batch, diag):
         r, pb = jax.vjp(lambda th: resid(th, batch), theta)
         loss = jnp.sum(r * r)
         (g,) = pb(r)
@@ -156,10 +171,12 @@ def lm_train(
         def gnvp(v):
             _, jv = jax.jvp(lambda th: resid(th, batch), (theta,), (v,))
             (jtv,) = pb(jv)
-            return _tree_axpy(lam, v, jtv)
+            damp = jax.tree.map(lambda d, vi: lam * d * vi, diag, v)
+            return jax.tree.map(jnp.add, jtv, damp)
 
+        minv = jax.tree.map(lambda d: 1.0 / (d * (1.0 + lam)), diag)
         neg_g = jax.tree.map(jnp.negative, g)
-        delta = _cg_tree(gnvp, neg_g, cg_iters)
+        delta = _cg_tree(gnvp, neg_g, cg_iters, minv=minv)
         cand = jax.tree.map(jnp.add, theta, delta)
         r_new = resid(cand, batch)
         loss_new = jnp.sum(r_new * r_new)
@@ -171,11 +188,18 @@ def lm_train(
         return theta_out, lam_out, loss, loss_new, _tree_dot(g, g) ** 0.5
 
     dt_ = jnp.result_type(jax.tree.leaves(theta)[0])
-    md = mean_diag(theta, batch, jax.random.PRNGKey(0))
-    lam = jnp.asarray(init_damping, dt_) * jnp.maximum(md, jnp.asarray(1e-30, dt_))
+    key = jax.random.PRNGKey(0)
+    diag, md = diag_estimate(theta, batch, key)
+    if not precond:
+        # legacy behavior: scalar damping λ·mean-diag·I, identity preconditioner
+        diag = jax.tree.map(lambda l: jnp.full_like(l, md), theta)
+    lam = jnp.asarray(init_damping, dt_)
     losses = []
     for it in range(iters):
-        theta, lam, loss, loss_new, gnorm = step(theta, lam, batch)
+        if precond and it > 0 and it % max(precond_refresh, 1) == 0:
+            key, sub = jax.random.split(key)
+            diag, _ = diag_estimate(theta, batch, sub)
+        theta, lam, loss, loss_new, gnorm = step(theta, lam, batch, diag)
         losses.append(float(loss))
         if record is not None:
             record(float(loss), theta, float(gnorm))

@@ -486,10 +486,33 @@ def glacier_adjoint_value_and_grad(
 
     elif isinstance(adjoint, ContinuousAdjoint):
         # reverse adaptive integration of dλ/dτ = (∂f/∂H)ᵀ λ with H(t)
-        # linearly interpolated between saved states (gradient.jl:285-301)
+        # interpolated between saved states (gradient.jl:285-301). The
+        # default is cubic Hermite with the exact slope Ḣ = f(H, t) at the
+        # saves — the reference interpolates H from its forward solution
+        # object's dense output, and piecewise-LINEAR H(t) caps the whole
+        # gradient at ~3e-3 relative (measured r2) vs the 1e-3/1e-8
+        # reference gates (/root/reference/test/runtests.jl:127)
+        use_hermite = getattr(adjoint, "interpolation", "hermite") == "hermite"
+
+        def _hermite(t, ta, tb, pa, pb_, ma, mb_):
+            h = tb - ta
+            s = jnp.where(h > 0, (t - ta) / jnp.where(h > 0, h, 1.0), 0.0)
+            h00 = (1.0 + 2.0 * s) * (1.0 - s) ** 2
+            h10 = s * (1.0 - s) ** 2
+            h01 = s**2 * (3.0 - 2.0 * s)
+            h11 = s**2 * (s - 1.0)
+            return h00 * pa + h10 * h * ma + h01 * pb_ + h11 * h * mb_
+
+        if use_hermite:
+            # Ḣ at every save: one rhs sweep (~one forward-epoch cost)
+            traj_dots = jax.vmap(lambda H, t: rhs(H, t))(traj, tstops)
+
         def interp_traj(t):
             idx = jnp.clip(jnp.searchsorted(tstops, t, side="right") - 1, 0, n_save - 2)
             ta, tb = tstops[idx], tstops[idx + 1]
+            if use_hermite:
+                return _hermite(t, ta, tb, traj[idx], traj[idx + 1],
+                                traj_dots[idx], traj_dots[idx + 1])
             w = jnp.where(tb > ta, (t - ta) / (tb - ta), 0.0)
             return (1.0 - w) * traj[idx] + w * traj[idx + 1]
 
@@ -559,9 +582,23 @@ def glacier_adjoint_value_and_grad(
             ts = np.asarray(jax.core.concrete_or_error(None, tstops, "continuous adjoint tstops"))
             tq, wq = gauss_legendre_nodes(float(ts[0]), float(ts[-1]), adjoint.n_quadrature)
 
+        if use_hermite:
+            # λ̇ = −(∂f/∂H)ᵀλ at the interval-local one-sided limits: λ jumps
+            # at loss injections, so each interval gets its own end slopes
+            bs = jnp.arange(n_save - 1)
+            lam_dots_left = jax.vmap(
+                lambda b: -vjp_H(lam_lefts[b], traj[b], tstops[b])
+            )(bs)
+            lam_dots_right = jax.vmap(
+                lambda b: -vjp_H(lam_rights[b], traj[b + 1], tstops[b + 1])
+            )(bs)
+
         def interp_lam(t):
             b = jnp.clip(jnp.searchsorted(tstops, t, side="right") - 1, 0, n_save - 2)
             ta, tb = tstops[b], tstops[b + 1]
+            if use_hermite:
+                return _hermite(t, ta, tb, lam_lefts[b], lam_rights[b],
+                                lam_dots_left[b], lam_dots_right[b])
             w = jnp.where(tb > ta, (t - ta) / (tb - ta), 0.0)
             return (1.0 - w) * lam_lefts[b] + w * lam_rights[b]
 

@@ -87,7 +87,7 @@ class Law:
 # ---------------------------------------------------------------------------
 
 def LawA(nn: nnmod.NeuralNetwork, params, scalar: bool = True,
-         head: str = "sigmoid") -> Law:
+         head: str = "sigmoid", prescale_bounds=None) -> Law:
     """NN law T → A ∈ [minA, maxA] (reference Laws.jl:323-380).
 
     ``head`` selects the output parameterization:
@@ -102,6 +102,11 @@ def LawA(nn: nnmod.NeuralNetwork, params, scalar: bool = True,
       architecture over T ∈ [−25, −14]: max rel err 5.6e-3 linear vs 2.5e-4
       log). Use for many-glacier inversions spanning wide temperature ranges.
 
+    ``prescale_bounds`` (e.g. ``((-25.0, 0.0),)``): normalize the temperature
+    input to [0, 1] before the network (the reference's `_ml_model_prescale`,
+    target_utils.jl:58-86). Raw °C inputs saturate the first layer and cap
+    the trainable fit ~20× above the architecture's floor (measured).
+
     Applied once at simulation start (callback_freq = 0) since the long-term
     temperature input is time-independent within a solve.
     """
@@ -114,6 +119,8 @@ def LawA(nn: nnmod.NeuralNetwork, params, scalar: bool = True,
     def apply_fn(theta, inputs):
         t_in = inputs["T_grid"] if not scalar else inputs["T"]
         x = jnp.asarray(t_in)[..., None]
+        if prescale_bounds is not None:
+            x = nnmod.prescale(x, prescale_bounds)
         out = nnmod.mlp_apply(arch, theta["A"], x)[..., 0]
         if log_head:
             return jnp.exp(nnmod.scale(out, (jnp.log(min_a), jnp.log(max_a))))

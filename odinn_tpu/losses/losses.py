@@ -33,6 +33,7 @@ __all__ = [
     "LossHV",
     "MultiLoss",
     "simple_loss",
+    "simple_residual",
     "backward_simple_loss",
     "loss_uses_velocity",
 ]
@@ -65,6 +66,24 @@ def simple_loss(cfg, a, b, mask, normalization):
     raise TypeError(f"unknown simple loss {cfg!r}")
 
 
+def simple_residual(cfg, a, b, mask, normalization):
+    """Flattened-residual form: an array r with Σr² == simple_loss(...).
+
+    Both simple losses are exact least squares, which is what lets the
+    Gauss–Newton/LM trainer (inverse.gauss_newton) cover them: L2Sum's
+    residual is √(m/norm)·(a−b), LogSum's is √(m/norm)·log((a+ϵ)/(b+ϵ)).
+    """
+    m = mask.astype(a.dtype)
+    w = jnp.sqrt(m / normalization)
+    if isinstance(cfg, L2Sum):
+        return w * (a - b)
+    if isinstance(cfg, LogSum):
+        return w * jnp.log(
+            (jnp.maximum(a, 0.0) + cfg.eps) / (jnp.maximum(b, 0.0) + cfg.eps)
+        )
+    raise TypeError(f"unknown simple loss {cfg!r}")
+
+
 def backward_simple_loss(cfg, a, b, mask, normalization):
     """Analytic ∂loss/∂a (reference backward_loss, Losses.jl:142-151,218-227);
     used by the hand-written adjoints, equals jax.grad of simple_loss."""
@@ -91,6 +110,13 @@ class LossH:
             return jnp.asarray(0.0)
         mask = is_in_glacier(H_ref, self.loss.distance)
         return simple_loss(self.loss, H_pred, H_ref, mask, ctx.normalization)
+
+    def residuals(self, ctx, H_pred, t):
+        """Residual blocks with Σ‖·‖² == __call__ (Gauss–Newton trainer)."""
+        if ctx.H_ref is None:
+            return ()
+        mask = is_in_glacier(ctx.H_ref, self.loss.distance)
+        return (simple_residual(self.loss, H_pred, ctx.H_ref, mask, ctx.normalization),)
 
 
 @dataclass(frozen=True)
@@ -119,12 +145,34 @@ class LossV:
         else:
             raise ValueError(f"unknown velocity component {self.component!r}")
         if self.scale_loss:
-            m = mask.astype(vx.dtype)
-            mean_speed = jnp.sqrt(
-                jnp.sum(m * (ctx.Vx_ref**2 + ctx.Vy_ref**2)) / jnp.maximum(jnp.sum(m), 1.0)
-            )
-            l = l / jnp.maximum(mean_speed, 1e-12)
+            l = l / self._speed_scale(ctx, mask, vx.dtype)
         return l
+
+    def _speed_scale(self, ctx, mask, dtype):
+        m = mask.astype(dtype)
+        mean_speed = jnp.sqrt(
+            jnp.sum(m * (ctx.Vx_ref**2 + ctx.Vy_ref**2)) / jnp.maximum(jnp.sum(m), 1.0)
+        )
+        return jnp.maximum(mean_speed, 1e-12)
+
+    def residuals(self, ctx, H_pred, t):
+        """Residual blocks with Σ‖·‖² == __call__ (Gauss–Newton trainer).
+        The scale_loss divisor depends on the references only, so it folds
+        into the residual as a √-factor without breaking least-squares form."""
+        if ctx.V_ref is None:
+            return ()
+        vx, vy, vabs = ctx.velocity_fn(H_pred, t)
+        mask = ctx.V_ref > 0.0
+        s = jnp.sqrt(1.0 / self._speed_scale(ctx, mask, vx.dtype)) \
+            if self.scale_loss else jnp.asarray(1.0, vx.dtype)
+        if self.component == "xy":
+            return (
+                s * simple_residual(self.loss, vx, ctx.Vx_ref, mask, ctx.normalization),
+                s * simple_residual(self.loss, vy, ctx.Vy_ref, mask, ctx.normalization),
+            )
+        if self.component == "abs":
+            return (s * simple_residual(self.loss, vabs, ctx.V_ref, mask, ctx.normalization),)
+        raise ValueError(f"unknown velocity component {self.component!r}")
 
 
 @dataclass(frozen=True)
@@ -137,6 +185,12 @@ class LossHV:
 
     def __call__(self, ctx, H_pred, t):
         return self.hLoss(ctx, H_pred, t) + self.scaling * self.vLoss(ctx, H_pred, t)
+
+    def residuals(self, ctx, H_pred, t):
+        s = jnp.sqrt(jnp.asarray(self.scaling))
+        return self.hLoss.residuals(ctx, H_pred, t) + tuple(
+            s * r for r in self.vLoss.residuals(ctx, H_pred, t)
+        )
 
 
 @dataclass(frozen=True)

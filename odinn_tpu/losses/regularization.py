@@ -75,6 +75,11 @@ class TikhonovRegularization:
         m = mask.astype(a.dtype)
         return jnp.sum(m * laplacian(a, dx, dy) ** 2)
 
+    def residual(self, a, dx, dy, mask):
+        """√m·∇²a — an array r with Σr² == __call__ (Gauss–Newton trainer)."""
+        m = mask.astype(a.dtype)
+        return jnp.sqrt(m) * laplacian(a, dx, dy)
+
 
 @dataclass(frozen=True)
 class InitialThicknessRegularization:
@@ -90,6 +95,10 @@ class InitialThicknessRegularization:
         # H_pred here is the *initial* filtered thickness H₀(θ)
         mask = jnp.ones(H_pred.shape, bool)
         return self.reg(H_pred, ctx.dx, ctx.dy, mask)
+
+    def residuals(self, ctx, H_pred, t):
+        mask = jnp.ones(H_pred.shape, bool)
+        return (self.reg.residual(H_pred, ctx.dx, ctx.dy, mask),)
 
 
 @dataclass(frozen=True)
@@ -109,6 +118,13 @@ class VelocityRegularization:
         mask = is_in_glacier(H_pred, self.distance) & (v > 0.0)
         return self.reg(v, ctx.dx, ctx.dy, mask)
 
+    def residuals(self, ctx, H_pred, t):
+        if self.components != "abs":
+            raise NotImplementedError(f"VelocityRegularization components {self.components}")
+        vx, vy, v = ctx.velocity_fn(H_pred, t)
+        mask = is_in_glacier(H_pred, self.distance) & (v > 0.0)
+        return (self.reg.residual(v, ctx.dx, ctx.dy, mask),)
+
 
 @dataclass(frozen=True)
 class RheologyRegularization:
@@ -125,6 +141,12 @@ class RheologyRegularization:
         a = self.min_A + (self.max_A - self.min_A) * (jnp.tanh(raw) + 1.0) / 2.0
         mask = jnp.ones(a.shape, bool)
         return self.reg(a, ctx.dx, ctx.dy, mask)
+
+    def residuals(self, ctx, H_pred, t):
+        raw = ctx.theta["A"][ctx.glacier_idx]
+        a = self.min_A + (self.max_A - self.min_A) * (jnp.tanh(raw) + 1.0) / 2.0
+        mask = jnp.ones(a.shape, bool)
+        return (self.reg.residual(a, ctx.dx, ctx.dy, mask),)
 
 
 @dataclass(frozen=True)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from odinn_tpu.core.glacier import is_in_glacier
-from odinn_tpu.losses.losses import L2Sum, simple_loss
+from odinn_tpu.losses.losses import L2Sum, simple_loss, simple_residual
 
 __all__ = ["LossDhdt", "LossAvgV"]
 
@@ -52,6 +52,17 @@ class LossDhdt:
         pred = (h2 - h1) / (dd.t2 - dd.t1)
         mask = is_in_glacier(h2, self.loss.distance)
         return simple_loss(self.loss, pred, dd.dhdt, mask, ctx.normalization)
+
+    def residuals(self, ctx, traj, tstops):
+        """Residual blocks with Σ‖·‖² == __call__ (Gauss–Newton trainer)."""
+        dd = ctx.glacier.dhdt_data
+        if dd is None:
+            return ()
+        h1 = _state_at(traj, tstops, dd.t1)
+        h2 = _state_at(traj, tstops, dd.t2)
+        pred = (h2 - h1) / (dd.t2 - dd.t1)
+        mask = is_in_glacier(h2, self.loss.distance)
+        return (simple_residual(self.loss, pred, dd.dhdt, mask, ctx.normalization),)
 
 
 @dataclass(frozen=True)
@@ -84,3 +95,22 @@ class LossAvgV:
         v_avg = jnp.tensordot(w, speeds, axes=1)
         mask = v_ref > 0.0
         return simple_loss(self.loss, v_avg, v_ref, mask, ctx.normalization)
+
+    def residuals(self, ctx, traj, tstops):
+        """Residual blocks with Σ‖·‖² == __call__ (Gauss–Newton trainer)."""
+        vd = ctx.glacier.velocity_data
+        if vd is None:
+            return ()
+        v_ref = vd.vabs[0] if vd.vabs.ndim == 3 else vd.vabs
+        t1 = vd.date1 if vd.date1 is not None else tstops[0]
+        t2 = vd.date2 if vd.date2 is not None else tstops[-1]
+        t1 = jnp.reshape(jnp.asarray(t1), ())
+        t2 = jnp.reshape(jnp.asarray(t2), ())
+        dts = jnp.diff(tstops)
+        mids_in = (tstops[1:] >= t1) & (tstops[1:] <= t2)
+        w = dts * mids_in
+        w = w / jnp.maximum(jnp.sum(w), 1e-12)
+        speeds = jax.vmap(lambda H: ctx.velocity_fn(H, tstops[0])[2])(traj[1:])
+        v_avg = jnp.tensordot(w, speeds, axes=1)
+        mask = v_ref > 0.0
+        return (simple_residual(self.loss, v_avg, v_ref, mask, ctx.normalization),)

@@ -16,7 +16,7 @@ import optax
 
 from odinn_tpu.models.nn import MLP, mlp_apply
 
-__all__ = ["msle_loss", "pretraining"]
+__all__ = ["msle_loss", "pretraining", "dense_lm_fit", "pretrain_law_from_A"]
 
 
 def msle_loss(pred, target):
@@ -63,3 +63,111 @@ def pretraining(
         params, state, val = step(params, state)
         history.append(float(val))
     return params, history
+
+
+def dense_lm_fit(
+    arch: MLP,
+    params,
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    postprocess: Optional[Callable] = None,
+    iters: int = 400,
+    lam0: float = 1e-2,
+) -> Tuple[list, float]:
+    """Exact Levenberg–Marquardt fit of a small MLP to (X, Y) pairs.
+
+    Supervised pretraining problems are tiny (O(100) samples × O(1e3)
+    weights), so the Jacobian is formed densely with ``jax.jacfwd`` and the
+    damped normal equations solved directly — first-order methods and even
+    matrix-free LM stall 2–3 orders above the achievable fit on these
+    ill-conditioned NN least-squares (measured: Adam+LBFGS floor ~1e-4 max
+    rel on the A(T) curve vs ~2e-5 here). Use f64 parameters; cast to f32
+    afterwards (the fit survives the cast to ~1 ulp of the f32 head).
+
+    Returns (trained_params, final_sum_of_squares).
+    """
+    import jax.flatten_util
+
+    X = jnp.atleast_2d(X)
+    Y = jnp.asarray(Y)
+    flat, unravel = jax.flatten_util.ravel_pytree(params)
+
+    def resid_flat(f):
+        out = mlp_apply(arch, unravel(f), X)[..., 0]
+        if postprocess is not None:
+            out = postprocess(out)
+        return (out - Y).ravel()
+
+    Jfn = jax.jit(jax.jacfwd(resid_flat))
+    rfn = jax.jit(resid_flat)
+    lam = float(lam0)
+    loss = float(jnp.sum(rfn(flat) ** 2))
+    for _ in range(iters):
+        J = Jfn(flat)
+        r = rfn(flat)
+        JtJ = J.T @ J
+        g = J.T @ r
+        d = jnp.maximum(jnp.diag(JtJ), 1e-12)
+        step = jnp.linalg.solve(JtJ + lam * jnp.diag(d), -g)
+        cand = flat + step
+        ln = float(jnp.sum(rfn(cand) ** 2))
+        if ln < loss:
+            flat, loss, lam = cand, ln, max(lam / 3.0, 1e-14)
+        else:
+            lam = min(lam * 10.0, 1e12)
+    return unravel(flat), loss
+
+
+def pretrain_law_from_A(
+    nn,
+    params,
+    temps,
+    A_values,
+    head: str = "log",
+    prescale_bounds=None,
+    iters: int = 400,
+    restarts: int = 5,
+) -> list:
+    """Pretrain a LawA-style network on recovered (T, A) pairs.
+
+    The reference pretrains its A(T) network on target A values before UDE
+    training (/root/reference/src/models/trainable_components/NN_utils.jl:37-139);
+    the canonical source of pairs is a classical per-glacier inversion
+    (LawA_inversion) over the same glaciers. The fit runs in the law's HEAD
+    space — log A for ``head="log"``, the linear [minA, maxA] map otherwise —
+    with :func:`dense_lm_fit`, in f64 regardless of the training dtype (cast
+    the returned θ afterwards).
+
+    ``prescale_bounds`` must match the LawA(prescale_bounds=...) the θ will
+    drive. Returns the θ["A"] parameter list.
+
+    ``restarts``: dense LM is exact but LOCAL — measured across seeds on the
+    A(T) curve, the fit lands anywhere from 2e-5 to 8e-1 max rel err
+    depending on the init basin. The fit runs from ``restarts`` seeds
+    (nn.seed, then nn.seed+1, ...) and keeps the lowest sum-of-squares.
+    """
+    import jax.flatten_util
+
+    from odinn_tpu.models.nn import init_mlp, prescale as _prescale, scale as _scale
+
+    arch = nn.architecture
+    min_a, max_a = params.physical.min_A, params.physical.max_A
+    T = jnp.asarray(temps, jnp.float64)[:, None]
+    A = jnp.asarray(A_values, jnp.float64)
+    if prescale_bounds is not None:
+        T = _prescale(T, prescale_bounds)
+    if head == "log":
+        lims = (jnp.log(min_a), jnp.log(max_a))
+        Y = jnp.log(A)
+    else:
+        lims = (min_a, max_a)
+        Y = A
+    best, best_ssr = None, jnp.inf
+    for k in range(max(restarts, 1)):
+        p0 = init_mlp(arch, jax.random.PRNGKey(nn.seed + k), jnp.float64)
+        fitted, ssr = dense_lm_fit(
+            arch, p0, T, Y, postprocess=lambda o: _scale(o, lims), iters=iters
+        )
+        if ssr < best_ssr:
+            best, best_ssr = fitted, ssr
+    return best

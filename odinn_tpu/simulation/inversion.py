@@ -73,6 +73,84 @@ def assemble_tstops(params, batch):
                         extra=extra if extra else None)
 
 
+class _LossEnv:
+    """Shared per-glacier loss/residual environment: partitioned terms, ctx
+    factory, and the τ-level observation lookup — built once and used by both
+    :func:`glacier_transient_loss` and :func:`glacier_residuals` so the loss
+    and its Gauss–Newton residual form cannot drift apart."""
+
+    def __init__(self, theta, glacier, glacier_idx, model, params, tstops):
+        loss_cfg = params.UDE.empirical_loss_function or _default_loss()
+        if not isinstance(loss_cfg, MultiLoss):
+            loss_cfg = MultiLoss(terms=(loss_cfg,), weights=(1.0,))
+        self.loss_cfg = loss_cfg
+        self.tstops = tstops
+        self.dts = jnp.diff(tstops)
+        self.npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
+        self.glacier = glacier
+        self.theta = theta
+        self.glacier_idx = glacier_idx
+        self.model = model
+        t0 = tstops[0]
+        outer = resolve_outer_values(model, theta, glacier, glacier_idx, t0)
+        vfn = make_values_fn(model, theta, glacier, glacier_idx, t0, outer)
+
+        def velocity_fn(H, t):
+            return v_from_h(H, glacier.B, glacier.dx, glacier.dy, vfn,
+                            model.target, params.physical)
+
+        self.velocity_fn = velocity_fn
+        self.t0 = t0
+        pairs = list(zip(loss_cfg.weights, loss_cfg.terms))
+        self.transient = [(w, t_) for w, t_ in pairs if term_kind(t_) == "transient"]
+        self.initial = [(w, t_) for w, t_ in pairs if term_kind(t_) == "initial"]
+        self.aggregate = [(w, t_) for w, t_ in pairs if term_kind(t_) == "aggregate"]
+
+    def make_ctx(self, H_ref=None, V_ref=None, Vx_ref=None, Vy_ref=None):
+        g = self.glacier
+        return LossContext(
+            H_ref=H_ref, V_ref=V_ref, Vx_ref=Vx_ref, Vy_ref=Vy_ref,
+            velocity_fn=self.velocity_fn,
+            normalization=jnp.asarray(float(self.npix)),
+            theta=self.theta,
+            glacier_idx=self.glacier_idx,
+            glacier=g,
+            dx=g.dx,
+            dy=g.dy,
+        )
+
+    def obs_at(self, tau, dtype):
+        """Time-matched references + per-term validity gates at save index τ
+        (the reference's per-tstop data lookup with isnothing skips,
+        Losses.jl:262-267) — tstops may be a superset of the data grid."""
+        from odinn_tpu.simulation.observations import thickness_at, velocity_at
+
+        t = self.tstops[tau]
+        h_ref, h_valid = thickness_at(self.glacier.thickness_data, t, dtype)
+        v_ref, vx_ref, vy_ref, v_valid = velocity_at(self.glacier.velocity_data, t, dtype)
+        ctx = self.make_ctx(H_ref=h_ref, V_ref=v_ref, Vx_ref=vx_ref, Vy_ref=vy_ref)
+        return t, ctx, h_valid, v_valid
+
+    @staticmethod
+    def term_valid(term, h_valid, v_valid):
+        """Validity gates: thickness terms need a matching H obs at this
+        tstop, velocity terms a matching V obs; others both."""
+        from odinn_tpu.losses.losses import LossH as _LH, LossV as _LV
+
+        if isinstance(term, _LH):
+            return h_valid
+        if isinstance(term, _LV):
+            return v_valid
+        return h_valid * v_valid
+
+    def initial_H(self):
+        """Initial-state terms see the filtered trainable H₀ (or the data H₀)."""
+        model, theta = self.model, self.theta
+        if model.initial_condition is not None and theta is not None and "IC" in theta:
+            return model.initial_condition.evaluate_H0(theta, self.glacier_idx)
+        return self.glacier.H0
+
+
 def glacier_transient_loss(theta, glacier, glacier_idx, model, params, tstops):
     """Transient loss for one glacier: Σ_τ Δt_τ · ℓ(H(t_τ), refs(t_τ)).
 
@@ -81,88 +159,100 @@ def glacier_transient_loss(theta, glacier, glacier_idx, model, params, tstops):
     solve, then accumulate the per-tstop empirical loss weighted by the step
     length, with normalization = number of grid cells.
     """
-    loss_cfg = params.UDE.empirical_loss_function or _default_loss()
-    if not isinstance(loss_cfg, MultiLoss):
-        loss_cfg = MultiLoss(terms=(loss_cfg,), weights=(1.0,))
     traj = forward_glacier(theta, glacier, glacier_idx, model, params, tstops)
-    dts = jnp.diff(tstops)
-    npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
-
-    t0 = tstops[0]
-    outer = resolve_outer_values(model, theta, glacier, glacier_idx, t0)
-    vfn = make_values_fn(model, theta, glacier, glacier_idx, t0, outer)
-
-    def velocity_fn(H, t):
-        return v_from_h(H, glacier.B, glacier.dx, glacier.dy, vfn, model.target, params.physical)
-
-    td = glacier.thickness_data
-    vd = glacier.velocity_data
-
-    def make_ctx(H_ref=None, V_ref=None, Vx_ref=None, Vy_ref=None):
-        return LossContext(
-            H_ref=H_ref, V_ref=V_ref, Vx_ref=Vx_ref, Vy_ref=Vy_ref,
-            velocity_fn=velocity_fn,
-            normalization=jnp.asarray(float(npix)),
-            theta=theta,
-            glacier_idx=glacier_idx,
-            glacier=glacier,
-            dx=glacier.dx,
-            dy=glacier.dy,
-        )
-
-    transient = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms) if term_kind(t_) == "transient"]
-    initial = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms) if term_kind(t_) == "initial"]
-    aggregate = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms) if term_kind(t_) == "aggregate"]
+    env = _LossEnv(theta, glacier, glacier_idx, model, params, tstops)
 
     total = jnp.asarray(0.0, traj.dtype)
 
-    if transient:
+    if env.transient:
 
         def step_loss(tau):
-            """Loss at save index τ; observations are matched by *time* (the
-            reference's per-tstop data lookup with isnothing(H_ref) skips,
-            Losses.jl:262-267), so tstops may be a superset of the data grid."""
-            from odinn_tpu.simulation.observations import thickness_at, velocity_at
-
-            t = tstops[tau]
-            h_ref, h_valid = thickness_at(td, t, traj.dtype)
-            v_ref, vx_ref, vy_ref, v_valid = velocity_at(vd, t, traj.dtype)
-            ctx = make_ctx(H_ref=h_ref, V_ref=v_ref, Vx_ref=vx_ref, Vy_ref=vy_ref)
+            t, ctx, h_valid, v_valid = env.obs_at(tau, traj.dtype)
             acc = jnp.asarray(0.0, traj.dtype)
-            from odinn_tpu.losses.losses import LossH as _LH, LossV as _LV
-
-            for w, term in transient:
-                # validity gates: thickness terms need a matching H obs at
-                # this tstop, velocity terms a matching V obs; others both
-                if isinstance(term, _LH):
-                    valid = h_valid
-                elif isinstance(term, _LV):
-                    valid = v_valid
-                else:
-                    valid = h_valid * v_valid
+            for w, term in env.transient:
+                valid = env.term_valid(term, h_valid, v_valid)
                 acc = acc + w * valid * term(ctx, traj[tau], t)
             return acc
 
         taus = jnp.arange(1, tstops.shape[0])
         per_t = jax.vmap(step_loss)(taus)
-        total = total + jnp.sum(per_t * dts)
+        total = total + jnp.sum(per_t * env.dts)
 
-    if initial:
-        # initial-state terms see the filtered trainable H₀ (or the data H₀)
-        if model.initial_condition is not None and theta is not None and "IC" in theta:
-            h_init = model.initial_condition.evaluate_H0(theta, glacier_idx)
-        else:
-            h_init = glacier.H0
-        ctx0 = make_ctx()
-        for w, term in initial:
-            total = total + w * term(ctx0, h_init, t0)
+    if env.initial:
+        ctx0 = env.make_ctx()
+        h_init = env.initial_H()
+        for w, term in env.initial:
+            total = total + w * term(ctx0, h_init, env.t0)
 
-    if aggregate:
-        ctx_a = make_ctx()
-        for w, term in aggregate:
+    if env.aggregate:
+        ctx_a = env.make_ctx()
+        for w, term in env.aggregate:
             total = total + w * term(ctx_a, traj, tstops)
 
     return total, traj
+
+
+def glacier_residuals(theta, glacier, glacier_idx, model, params, tstops):
+    """Flattened least-squares residual vector r with ‖r‖² ==
+    ``glacier_transient_loss(...)`` — the Gauss–Newton trainer's objective
+    form (inverse.gauss_newton).
+
+    Every configured loss term must expose ``.residuals`` (LossH/LossV/LossHV
+    over L2Sum/LogSum, LossDhdt/LossAvgV, the Tikhonov regularization
+    family); terms without one raise with a remedy. Transient blocks carry
+    the √(w·Δt_τ·valid) factor, initial/aggregate blocks √w — matching the
+    loss weighting exactly because both come from the same :class:`_LossEnv`.
+    """
+    traj = forward_glacier(theta, glacier, glacier_idx, model, params, tstops)
+    env = _LossEnv(theta, glacier, glacier_idx, model, params, tstops)
+
+    def _check(term):
+        if not hasattr(term, "residuals"):
+            raise NotImplementedError(
+                f"Gauss-Newton training needs a least-squares residual form for "
+                f"{term!r} (no .residuals method); use grad='jax' with "
+                f"Adam/LBFGS for this loss"
+            )
+
+    pieces = []
+
+    if env.transient:
+        for _, term in env.transient:
+            _check(term)
+
+        def step_resid(tau):
+            t, ctx, h_valid, v_valid = env.obs_at(tau, traj.dtype)
+            blocks = []
+            for w, term in env.transient:
+                valid = env.term_valid(term, h_valid, v_valid)
+                c = jnp.sqrt(w * env.dts[tau - 1] * valid)
+                blocks.extend(c * r for r in term.residuals(ctx, traj[tau], t))
+            return tuple(blocks)
+
+        taus = jnp.arange(1, tstops.shape[0])
+        per_t = jax.vmap(step_resid)(taus)
+        pieces.extend(b.ravel() for b in per_t)
+
+    if env.initial:
+        ctx0 = env.make_ctx()
+        h_init = env.initial_H()
+        for w, term in env.initial:
+            _check(term)
+            pieces.extend(
+                (jnp.sqrt(jnp.asarray(w, traj.dtype)) * r).ravel()
+                for r in term.residuals(ctx0, h_init, env.t0)
+            )
+
+    if env.aggregate:
+        ctx_a = env.make_ctx()
+        for w, term in env.aggregate:
+            _check(term)
+            pieces.extend(
+                (jnp.sqrt(jnp.asarray(w, traj.dtype)) * r).ravel()
+                for r in term.residuals(ctx_a, traj, tstops)
+            )
+
+    return jnp.concatenate(pieces) if pieces else jnp.zeros((0,), traj.dtype)
 
 
 def batch_transient_loss(theta, batch, model, params, tstops, glacier_ids=None):
@@ -362,6 +452,14 @@ def train_ude(
     n_glaciers = batch.H0.shape[0]
     bsize = min(params.hyper.batch_size, n_glaciers)
     minibatching = 0 < bsize < n_glaciers
+    if not minibatching:
+        # The INITIAL iterate joins the best tracker: a warm-started θ (e.g.
+        # a pretrained network) may already beat everything the stages reach,
+        # and Optimization.jl's minimizer tracking includes it too. One
+        # forward evaluation — negligible against training.
+        _init_best(theta)
+        v0 = eval_loss(theta, batch)
+        best_val, best_theta = _step_best(v0, theta, best_val, best_theta)
     if minibatching:
         # loud, once: losses become stochastic subset sums and per-step cost
         # reflects bsize glaciers, not the full batch (hyper.batch_size
@@ -429,9 +527,24 @@ def train_ude(
             _flush(pending, theta, time.time() - t_stage)
             theta = _stage_boundary(theta)
         elif opt_name in ("lbfgs", "bfgs"):
-            opt = optax.lbfgs(
-                linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20)
-            )
+            ls_name = params.hyper.lbfgs_linesearch
+            if ls_name == "auto":
+                th_dt = jnp.result_type(jax.tree.leaves(theta)[0])
+                ls_name = "zoom" if th_dt == jnp.float64 else "backtracking"
+            if ls_name == "zoom":
+                ls = optax.scale_by_zoom_linesearch(max_linesearch_steps=20)
+            elif ls_name == "backtracking":
+                # Armijo backtracking: monotone step shrinking — cannot hang
+                # where zoom's f32 bracketing collapses (see Hyperparameters)
+                ls = optax.scale_by_backtracking_linesearch(
+                    max_backtracking_steps=30, store_grad=True
+                )
+            else:
+                raise ValueError(
+                    f"hyper.lbfgs_linesearch must be 'auto', 'zoom', or "
+                    f"'backtracking', got {ls_name!r}"
+                )
+            opt = optax.lbfgs(linesearch=ls)
             state = opt.init(theta)
 
             _init_best(theta)
@@ -471,6 +584,19 @@ def train_ude(
             from odinn_tpu.inverse.gauss_newton import lm_train, make_residual_fn
 
             resid = make_residual_fn(model, params, tstops)
+            glacier_norm = params.hyper.gn_glacier_norm
+            if glacier_norm:
+                # per-glacier loss normalization (see Hyperparameters): weight
+                # rows by the inverse per-glacier loss at the stage start
+                r0 = jax.jit(lambda th, b: resid(th, b))(theta, batch)
+                L_g = jnp.sum(r0 * r0, axis=tuple(range(1, r0.ndim)))
+                w_g = 1.0 / (L_g + 0.01 * jnp.mean(L_g))
+                sqrt_w = jnp.sqrt(w_g).reshape((-1,) + (1,) * (r0.ndim - 1))
+                base_resid = resid
+
+                def resid(th, b, ids=None, _br=base_resid, _sw=sqrt_w):
+                    return _br(th, b, ids) * _sw
+
             t_stage = time.time()
             n_before = stats.niter
 
@@ -481,7 +607,8 @@ def train_ude(
 
             theta, lm_losses = lm_train(theta, batch, resid, iters=epochs,
                                         cg_iters=params.hyper.gn_cg_iters,
-                                        init_damping=lr, record=rec)
+                                        init_damping=lr, record=rec,
+                                        precond=params.hyper.gn_precond)
             stage_wall = time.time() - t_stage
             # rec() appended one dt=0.0 entry per record; overwrite them with
             # the stage's mean per-iteration wall time so len(time_per_iter)
@@ -490,12 +617,16 @@ def train_ude(
             if n_rec > 0:
                 stats.time_per_iter[-n_rec:] = [stage_wall / n_rec] * n_rec
             # LM's accept rule is monotone, so the returned θ is the stage's
-            # best iterate; fold into the global best (host-side scalars)
+            # best iterate; fold into the global best (host-side scalars).
+            # Under glacier normalization lm_losses are the NORMALIZED
+            # objective — comparable best tracking happens in _stage_boundary
+            # against the true loss instead.
             _init_best(theta)
-            lm_best = min(lm_losses)
-            if lm_best < float(best_val):
-                best_val = jnp.asarray(lm_best, jnp.result_type(best_val))
-                best_theta = theta
+            if not glacier_norm:
+                lm_best = min(lm_losses)
+                if lm_best < float(best_val):
+                    best_val = jnp.asarray(lm_best, jnp.result_type(best_val))
+                    best_theta = theta
             theta = _stage_boundary(theta)
         else:
             raise ValueError(f"unknown optimizer {opt_name!r}")

@@ -116,14 +116,100 @@ def test_lm_rejects_minibatching():
         run_inversion(inv)
 
 
-def test_lm_rejects_unsupported_losses():
+def _residual_parity(loss_cfg, with_velocity=False, with_dhdt=False):
+    """‖r(θ)‖² must equal batch_transient_loss for the given loss config."""
+    from odinn_tpu.core.glacier import stack_glaciers
     from odinn_tpu.inverse.gauss_newton import make_residual_fn
-    from odinn_tpu.losses.losses import LossV, MultiLoss
+    from odinn_tpu.models.model import init_theta
+    from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+    from odinn_tpu.simulation.inversion import assemble_tstops
+    from odinn_tpu.simulation.prediction import generate_ground_truth as ggt
+
+    params, glaciers, tstops = make_setup(("adam",), (0.1,), (1,))
+    if with_velocity:
+        params = params.replace(
+            simulation=SimulationParameters(tspan=(5.0, 6.0), use_MB=False,
+                                            test_mode=True, use_velocities=True))
+        truth = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
+        glaciers = [g.replace(thickness_data=None, velocity_data=None) for g in glaciers]
+        glaciers = ggt(glaciers, params, truth, tstops, store=("H", "V"))
+    if with_dhdt:
+        from odinn_tpu.core.glacier import DhdtData
+
+        glaciers = [
+            g.replace(dhdt_data=DhdtData(
+                t1=jnp.asarray(5.0), t2=jnp.asarray(6.0),
+                dhdt=jnp.zeros_like(g.H0)))
+            for g in glaciers
+        ]
+    params = params.replace(
+        UDE=UDEParameters(grad="jax", target="A",
+                          empirical_loss_function=loss_cfg))
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=0)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    batch = stack_glaciers(glaciers)
+    theta = init_theta(model, batch)
+    ts2 = assemble_tstops(params, batch)
+    resid = make_residual_fn(model, params, ts2)
+    r = resid(theta, batch)
+    loss_sq = float(jnp.sum(r * r))
+    loss_ref = float(batch_transient_loss(theta, batch, model, params, ts2))
+    np.testing.assert_allclose(loss_sq, loss_ref, rtol=1e-9)
+    return loss_ref
+
+
+def test_residual_parity_hv_log_dhdt_tikhonov():
+    """The LM trainer covers every least-squares loss shape: LossHV (xy
+    velocities + scale_loss), LogSum thickness, time-aggregated LossDhdt,
+    and Tikhonov initial-thickness regularization — residual square-sums
+    equal the loss to roundoff (the reference trains these objectives with
+    BFGS, Losses.jl:250-441; here they are second-order trainable too)."""
+    from odinn_tpu.losses.losses import LogSum, LossH, LossHV, LossV, MultiLoss
+    from odinn_tpu.losses.regularization import InitialThicknessRegularization
+    from odinn_tpu.losses.time_aggregated import LossDhdt
+
+    l1 = _residual_parity(MultiLoss((LossHV(),), (1.0,)), with_velocity=True)
+    assert l1 > 0.0
+    l2 = _residual_parity(MultiLoss((LossH(loss=LogSum()),), (1.0,)))
+    assert l2 > 0.0
+    l3 = _residual_parity(
+        MultiLoss((LossH(), LossDhdt(), InitialThicknessRegularization()),
+                  (1.0, 0.5, 1e-6)),
+        with_dhdt=True,
+    )
+    assert l3 > 0.0
+    l4 = _residual_parity(
+        MultiLoss((LossV(component="abs", scale_loss=True),), (1.0,)),
+        with_velocity=True,
+    )
+    assert l4 > 0.0
+
+
+def test_lm_rejects_unsupported_losses():
+    """Terms with no least-squares residual form still raise with a remedy."""
+    from odinn_tpu.core.glacier import stack_glaciers
+    from odinn_tpu.inverse.gauss_newton import make_residual_fn
+    from odinn_tpu.losses.losses import MultiLoss
+    from odinn_tpu.models.model import init_theta
+    from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+
+    class OddLoss:
+        kind = "transient"
+
+        def __call__(self, ctx, H_pred, t):
+            return jnp.sum(H_pred) ** 3
 
     params, glaciers, tstops = make_setup(("lm",), (1e-2,), (3,))
     params = params.replace(
         UDE=UDEParameters(grad="jax", target="A",
-                          empirical_loss_function=MultiLoss((LossV(),), (1.0,)))
+                          empirical_loss_function=MultiLoss((OddLoss(),), (1.0,)))
     )
-    with pytest.raises(NotImplementedError, match="LossH"):
-        make_residual_fn(None, params, tstops)
+    from odinn_tpu.core.glacier import stack_glaciers as sg
+
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=0)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    batch = sg(glaciers)
+    theta = init_theta(model, batch)
+    resid = make_residual_fn(model, params, tstops)
+    with pytest.raises(NotImplementedError, match="grad='jax'"):
+        resid(theta, batch)

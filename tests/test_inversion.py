@@ -80,6 +80,73 @@ def test_functional_inversion_converges(inversion_setup):
     assert max(rels) < 1e-3 and min(rels) < 1e-4, rels
 
 
+def test_functional_inversion_smoke(inversion_setup):
+    """Fast-lane convergence smoke (~1 min): a short Adam→LM ladder must gain
+    ≥100× on the 2-glacier setup. The full reference-gate run (1e-6 ratio,
+    machine-floor A) is the slow-lane test above — this catches pipeline
+    regressions at CI speed (the reference shards the same way via GROUP,
+    runtests.jl:19)."""
+    params, glaciers = inversion_setup
+    params = params.replace(
+        hyper=Hyperparameters(optimizer=("adam", "lm"), learning_rate=(0.05, 1e-2),
+                              epochs=(10, 4), gn_cg_iters=15)
+    )
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=666)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    results = run_inversion(inv)
+    losses = results.stats.losses
+    assert results.stats.final_loss < 1e-2 * losses[0], (
+        f"smoke gain < 100x: {losses[0]} -> {results.stats.final_loss}"
+    )
+
+
+@pytest.mark.slow
+def test_functional_inversion_converges_with_mb(inversion_setup):
+    """MB-enabled end-to-end convergence at the reference's exact gates
+    (/root/reference/test/inversion_test.jl:2,76-78 — use_MB=true builds a
+    TImodel1 into BOTH the ground truth and the trained model; gates
+    :154-163). MB gradient correctness is unit-tested in test_mb_adjoint.py;
+    this drives a full training run through the monthly MB callbacks."""
+    from odinn_tpu.data.synthetic import monthly_dummy_climate
+    from odinn_tpu.physics.mass_balance import TImodel1
+
+    tspan = (5.0, 6.5)
+    params = make_params(tspan)
+    params = params.replace(
+        simulation=SimulationParameters(tspan=tspan, use_MB=True, step_MB=1.0 / 12.0,
+                                        use_velocities=False, test_mode=True)
+    )
+    glaciers = []
+    for i, temp in enumerate((-15.0, -25.0)):
+        clim = monthly_dummy_climate(tspan[0], 24, temp_mean=-1.0, nx=40, ny=40,
+                                     longterm_temp=temp)
+        g = halfar_glacier(nx=40, ny=40, dx=120.0, temp=temp, climate=clim,
+                           rgi_id=f"mb-{i}")
+        g = g.replace(B=jnp.full_like(g.B, 1800.0))
+        glaciers.append(g)
+    truth_model = Model(iceflow=SIA2DModel(A=CuffeyPaterson()), mass_balance=TImodel1())
+    tstops = build_tstops(tspan, params.solver.step)
+    glaciers = generate_ground_truth(glaciers, params, truth_model, tstops, store=("H",))
+
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=666)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)), mass_balance=TImodel1())
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    results = run_inversion(inv)
+    losses = results.stats.losses
+    assert results.stats.final_loss < 1e-6 * losses[0], (
+        f"loss did not collapse through MB: {losses[0]} -> {results.stats.final_loss}"
+    )
+    a_true = poly_A_paterson_cuffey()
+    law = model.iceflow.A
+    rels = []
+    for g, temp in [(0, -15.0), (1, -25.0)]:
+        a_nn = float(eval_law(law, inv.theta, glaciers[g], glacier_idx=g))
+        a_ref = float(a_true(jnp.asarray(temp)))
+        rels.append(abs(a_nn - a_ref) / a_ref)
+    assert max(rels) < 1e-3 and min(rels) < 1e-4, rels
+
+
 def test_dummy_adjoint_pipeline(inversion_setup):
     """Training-pipeline smoke test with a fake gradient (grad_free_test.jl
     equivalent, /root/reference/test/grad_free_test.jl:1-91)."""
