@@ -32,10 +32,15 @@ def main():
     params = Parameters(physical=PhysicalParameters(
         min_A=float(inp["min_A"]), max_A=float(inp["max_A"])))
     pb = inp["prescale_bounds"]
+    sw = inp["sample_weights"] if "sample_weights" in inp.files else None
+    init = None
+    if "init_w0" in inp.files:
+        init = [{"w": inp[f"init_w{i}"], "b": inp[f"init_b{i}"]}
+                for i in range(len(widths) - 1)]
     theta_A = pretrain_law_from_A(
         nn, params, inp["temps"], inp["A"], head=str(inp["head"]),
         prescale_bounds=tuple(map(tuple, pb)) if pb.size else None,
-        iters=int(inp["iters"]),
+        iters=int(inp["iters"]), sample_weights=sw, init_theta=init,
     )
     out = {}
     for i, layer in enumerate(theta_A):

@@ -1,0 +1,114 @@
+"""Single-chip throughput curve: glaciers-per-chip scaling (BASELINE.md
+north star — "inversions over 100+ glaciers, >=10x").
+
+For NG in {128, 256, 512} Halfar glaciers on 128x128 grids (f32,
+semi-implicit solver, full batch): time the jitted fwd+grad+Adam epoch of
+the classical inversion and record HBM in use. One chip; the multi-chip
+path is validated separately by dryrun_multichip (glacier-axis sharding
+makes the batch dimension the scale-out axis, so s/epoch at NG glaciers on
+one chip ~ s/epoch at k*NG glaciers on k chips modulo the psum).
+
+Timing methodology: lax.fori-chained epochs inside one jit would hide the
+optimizer boundary; instead the jitted full-batch step is called in a
+Python loop with a final block_until_ready, discarding the compile call —
+per-step dispatch (~65 us tunnel RTT) is <1% of the ~150 ms epoch.
+
+Writes benchmarks/scaling_curve_result.json.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from train_at_scale import build_glaciers
+
+    from odinn_tpu.core.glacier import stack_glaciers
+    from odinn_tpu.core.params import (Hyperparameters, Parameters,
+                                       PhysicalParameters, SimulationParameters,
+                                       SolverParameters, UDEParameters)
+    from odinn_tpu.laws.laws import CuffeyPaterson, LawA_inversion
+    from odinn_tpu.models.model import Model, SIA2DModel, init_theta
+    from odinn_tpu.simulation.inversion import batch_transient_loss
+    from odinn_tpu.simulation.prediction import generate_ground_truth
+    from odinn_tpu.simulation.solver import build_tstops
+
+    NX = 128
+    EPOCHS = 12
+    results = []
+    for NG in (128, 256, 512):
+        params = Parameters(
+            physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+            simulation=SimulationParameters(tspan=(5.0, 7.0), use_MB=False,
+                                            use_velocities=False,
+                                            float_dtype="float32"),
+            solver=SolverParameters(step=1 / 12, substeps=1, solver="SI",
+                                    cg_iters=20, remat=False),
+            hyper=Hyperparameters(optimizer="adam", learning_rate=0.1,
+                                  epochs=EPOCHS, batch_size=NG),
+            UDE=UDEParameters(grad="jax", target="A"),
+        )
+        temps, glaciers = build_glaciers(NG, NX)
+        tstops = build_tstops(params.simulation.tspan, params.solver.step)
+        truth = Model(iceflow=SIA2DModel(A=CuffeyPaterson(), n_value=3.0))
+        t0 = time.time()
+        glaciers = generate_ground_truth(glaciers, params, truth, tstops,
+                                         store=("H",))
+        t_gt = time.time() - t0
+
+        model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True),
+                                         n_value=3.0))
+        batch = stack_glaciers(glaciers)
+        theta = jax.tree.map(lambda x: x.astype(jnp.float32),
+                             init_theta(model, batch))
+        opt = optax.adam(0.1)
+        state = opt.init(theta)
+
+        @jax.jit
+        def step(theta, state, b):
+            val, grads = jax.value_and_grad(
+                lambda th: batch_transient_loss(th, b, model, params, tstops)
+            )(theta)
+            updates, state = opt.update(grads, state, theta)
+            return optax.apply_updates(theta, updates), state, val
+
+        theta, state, val = step(theta, state, batch)   # compile
+        jax.block_until_ready(val)
+        t0 = time.time()
+        for _ in range(EPOCHS):
+            theta, state, val = step(theta, state, batch)
+        jax.block_until_ready(val)
+        dt = (time.time() - t0) / EPOCHS
+
+        mem = None
+        try:
+            stats = jax.devices()[0].memory_stats()
+            mem = round(stats.get("bytes_in_use", 0) / 2**30, 3)
+        except Exception:
+            pass
+        row = {"n_glaciers": NG, "grid": NX, "ground_truth_s": round(t_gt, 2),
+               "s_per_epoch": round(dt, 4),
+               "glaciers_per_s": round(NG / dt, 1),
+               "hbm_gib": mem, "loss": float(val)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        del batch, glaciers, theta, state
+
+    out = {"device": str(jax.devices()[0]), "dtype": "float32",
+           "solver": "SI", "curve": results}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "scaling_curve_result.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,7 @@ def dense_lm_fit(
     postprocess: Optional[Callable] = None,
     iters: int = 400,
     lam0: float = 1e-2,
+    sample_weights=None,
 ) -> Tuple[list, float]:
     """Exact Levenberg–Marquardt fit of a small MLP to (X, Y) pairs.
 
@@ -90,13 +91,17 @@ def dense_lm_fit(
 
     X = jnp.atleast_2d(X)
     Y = jnp.asarray(Y)
+    sw = None if sample_weights is None else jnp.sqrt(jnp.asarray(sample_weights, Y.dtype))
     flat, unravel = jax.flatten_util.ravel_pytree(params)
 
     def resid_flat(f):
         out = mlp_apply(arch, unravel(f), X)[..., 0]
         if postprocess is not None:
             out = postprocess(out)
-        return (out - Y).ravel()
+        r = out - Y
+        if sw is not None:
+            r = sw * r
+        return r.ravel()
 
     Jfn = jax.jit(jax.jacfwd(resid_flat))
     rfn = jax.jit(resid_flat)
@@ -127,6 +132,8 @@ def pretrain_law_from_A(
     prescale_bounds=None,
     iters: int = 400,
     restarts: int = 5,
+    sample_weights=None,
+    init_theta=None,
 ) -> list:
     """Pretrain a LawA-style network on recovered (T, A) pairs.
 
@@ -145,6 +152,13 @@ def pretrain_law_from_A(
     A(T) curve, the fit lands anywhere from 2e-5 to 8e-1 max rel err
     depending on the init basin. The fit runs from ``restarts`` seeds
     (nn.seed, then nn.seed+1, ...) and keeps the lowest sum-of-squares.
+
+    ``sample_weights``: optional per-sample weights for curvature-matched
+    pretraining — weight glacier g by c_g = L_g/ε_g² (its measured PDE-loss
+    curvature w.r.t. relative A error) and the weighted fit minimizes the
+    *predicted PDE loss*, not the flat curve error; glaciers whose dynamics
+    are most A-sensitive get fit tightest. ``init_theta`` warm-starts the
+    fit (e.g. from an unweighted pass) and is tried alongside the restarts.
     """
     import jax.flatten_util
 
@@ -162,11 +176,15 @@ def pretrain_law_from_A(
     else:
         lims = (min_a, max_a)
         Y = A
+    starts = [init_mlp(arch, jax.random.PRNGKey(nn.seed + k), jnp.float64)
+              for k in range(max(restarts, 1))]
+    if init_theta is not None:
+        starts.insert(0, jax.tree.map(lambda x: jnp.asarray(x, jnp.float64), init_theta))
     best, best_ssr = None, jnp.inf
-    for k in range(max(restarts, 1)):
-        p0 = init_mlp(arch, jax.random.PRNGKey(nn.seed + k), jnp.float64)
+    for p0 in starts:
         fitted, ssr = dense_lm_fit(
-            arch, p0, T, Y, postprocess=lambda o: _scale(o, lims), iters=iters
+            arch, p0, T, Y, postprocess=lambda o: _scale(o, lims), iters=iters,
+            sample_weights=sample_weights,
         )
         if ssr < best_ssr:
             best, best_ssr = fitted, ssr

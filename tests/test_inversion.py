@@ -89,7 +89,7 @@ def test_functional_inversion_smoke(inversion_setup):
     params, glaciers = inversion_setup
     params = params.replace(
         hyper=Hyperparameters(optimizer=("adam", "lm"), learning_rate=(0.05, 1e-2),
-                              epochs=(10, 4), gn_cg_iters=15)
+                              epochs=(25, 6), gn_cg_iters=25)
     )
     nn = NeuralNetwork(default_architecture(1, light=True), seed=666)
     model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
