@@ -37,10 +37,13 @@ def main():
     if "init_w0" in inp.files:
         init = [{"w": inp[f"init_w{i}"], "b": inp[f"init_b{i}"]}
                 for i in range(len(widths) - 1)]
+    nf = int(inp["n_fourier"]) if "n_fourier" in inp.files else 0
     theta_A = pretrain_law_from_A(
         nn, params, inp["temps"], inp["A"], head=str(inp["head"]),
         prescale_bounds=tuple(map(tuple, pb)) if pb.size else None,
         iters=int(inp["iters"]), sample_weights=sw, init_theta=init,
+        n_fourier=nf or None,
+        restarts=int(inp["restarts"]) if "restarts" in inp.files else 5,
     )
     out = {}
     for i, layer in enumerate(theta_A):

@@ -165,12 +165,19 @@ def main():
     from odinn_tpu.simulation.inversion import (assemble_tstops,
                                                 batch_transient_loss)
 
-    arch = MLP((1, 16, 16, 1), ("tanh", "tanh", "sigmoid"))
+    # 8 Fourier frequencies -> 32 tanh -> sigmoid log head: plain tanh nets
+    # plateau at ~1.7e-5 max rel err fitting the 128 recovered A's (spectral
+    # bias); this architecture interpolates them to f64 machine precision
+    # (f32-eval rel err ~6e-7), so the pretrained start lands essentially AT
+    # the classical optimum
+    N_FOURIER = 8
+    arch = MLP((2 * N_FOURIER, 32, 1), ("tanh", "sigmoid"))
     prescale_bounds = ((-25.0, 0.0),)
-    stages = [("lm", 1e-2, 25)]
+    stages = [("lm", 1e-2, 10)]
     params = make_params(stages, gn_cg_iters=20, gn_glacier_norm=True)
     nn = NeuralNetwork(arch, seed=666)
-    law = LawA(nn, params, head="log", prescale_bounds=prescale_bounds)
+    law = LawA(nn, params, head="log", prescale_bounds=prescale_bounds,
+               n_fourier=N_FOURIER)
     model = Model(iceflow=SIA2DModel(A=law, n_value=3.0))
     inv = Inversion(model=model, glaciers=glaciers, parameters=params)
     theta_cold = jax.tree.map(lambda x: x.astype(jnp.float32), inv.theta)
@@ -194,7 +201,7 @@ def main():
                      widths=np.asarray(arch.widths), acts=np.asarray(arch.activations),
                      seed=666, min_A=phys.min_A, max_A=phys.max_A, head="log",
                      prescale_bounds=np.asarray(prescale_bounds, np.float64),
-                     iters=400, **kw)
+                     iters=600, n_fourier=N_FOURIER, restarts=3, **kw)
             subprocess.run([sys.executable,
                             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                          "_pretrain_A_sub.py"), fin, fout],
@@ -243,7 +250,7 @@ def main():
     rels_arr = np.asarray(rels_pts)
     ratio = float(res.stats.final_loss / loss0_cold)
     result["ude_nn"] = {
-        "head": "log", "arch": "1-16-16-1 tanh (prescaled T)",
+        "head": "log", "arch": "fourier8-32-1 tanh (prescaled T)",
         "pipeline": "classical-A pretrain (dense LM, f64) + PDE LM fine-tune (f32, Jacobi-PCG)",
         "pretrain_s": round(t_pre, 2), "train_s": round(t_tr, 2),
         "niter": res.stats.niter,

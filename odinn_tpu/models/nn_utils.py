@@ -134,6 +134,8 @@ def pretrain_law_from_A(
     restarts: int = 5,
     sample_weights=None,
     init_theta=None,
+    n_fourier=None,
+    fourier_scale: float = 1.0,
 ) -> list:
     """Pretrain a LawA-style network on recovered (T, A) pairs.
 
@@ -162,7 +164,8 @@ def pretrain_law_from_A(
     """
     import jax.flatten_util
 
-    from odinn_tpu.models.nn import init_mlp, prescale as _prescale, scale as _scale
+    from odinn_tpu.models.nn import (fourier_feature, init_mlp,
+                                     prescale as _prescale, scale as _scale)
 
     arch = nn.architecture
     min_a, max_a = params.physical.min_A, params.physical.max_A
@@ -170,6 +173,9 @@ def pretrain_law_from_A(
     A = jnp.asarray(A_values, jnp.float64)
     if prescale_bounds is not None:
         T = _prescale(T, prescale_bounds)
+    if n_fourier:
+        # must mirror LawA(n_fourier=...) exactly — same embedding, same order
+        T = fourier_feature(T, n_freq=n_fourier, scale_ff=fourier_scale)
     if head == "log":
         lims = (jnp.log(min_a), jnp.log(max_a))
         Y = jnp.log(A)

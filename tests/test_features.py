@@ -7,6 +7,8 @@ Covers the remaining rows of the reference's test matrix
 classical gridded inversions, regularization terms, Dhdt/AvgV losses).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -291,3 +293,42 @@ def test_lawA_log_head(gt):
 
     with pytest.raises(ValueError, match="head"):
         LawA(nn, params, head="exp")
+
+
+def test_lawA_fourier_pretrain_interpolates(gt):
+    """LawA(n_fourier=...) + dense-LM pretraining interpolates recovered
+    (T, A) targets far below the plain-tanh spectral-bias plateau (~1.7e-5
+    max rel err; the Fourier embedding mirrors the reference's NN_utils
+    Fourier features, NN_utils.jl:37-70), and eval_law reproduces the fit
+    through the law's own input pipeline (prescale -> fourier -> MLP ->
+    log head)."""
+    from odinn_tpu.laws.laws import LawA, eval_law, poly_A_paterson_cuffey
+    from odinn_tpu.models.nn import MLP
+    from odinn_tpu.models.nn_utils import pretrain_law_from_A
+
+    params, glaciers, tstops = gt
+    a_fn = poly_A_paterson_cuffey()
+    temps = np.linspace(-25.0, -14.0, 48)
+    # targets with classical-inversion-like noise (not a smooth curve)
+    rng = np.random.default_rng(0)
+    A_tgt = np.asarray(jax.vmap(a_fn)(jnp.asarray(temps)), np.float64)
+    A_tgt = A_tgt * (1.0 + 3e-5 * rng.standard_normal(48))
+
+    nf = 8
+    arch = MLP((2 * nf, 32, 1), ("tanh", "sigmoid"))
+    nn = NeuralNetwork(arch, seed=666)
+    pb = ((-25.0, 0.0),)
+    th = pretrain_law_from_A(nn, params, temps, A_tgt, head="log",
+                             prescale_bounds=pb, n_fourier=nf,
+                             iters=300, restarts=2)
+    law = LawA(nn, params, head="log", prescale_bounds=pb, n_fourier=nf)
+    theta = {"A": th}
+    # evaluate through the LAW (the full input pipeline), not the raw MLP
+    g0 = glaciers[0]
+    rels = []
+    for i, (t, a) in enumerate(zip(temps[::6], A_tgt[::6])):
+        gi = g0.replace(climate=dataclasses.replace(
+            g0.climate, longterm_temps_scalar=jnp.asarray(float(t))))
+        a_nn = float(eval_law(law, theta, gi, glacier_idx=0))
+        rels.append(abs(a_nn - float(a)) / float(a))
+    assert max(rels) < 1e-5, f"fourier fit does not interpolate: {max(rels):.2e}"

@@ -147,6 +147,52 @@ def test_functional_inversion_converges_with_mb(inversion_setup):
     assert max(rels) < 1e-3 and min(rels) < 1e-4, rels
 
 
+def test_f32_lbfgs_stage_terminates():
+    """f32 Adam→LBFGS must COMPLETE: optax's zoom linesearch can loop without
+    terminating in f32 (its bracket collapses below f32 resolution at loss
+    scales ~0.1–1); hyper.lbfgs_linesearch='auto' therefore selects
+    backtracking-Armijo for f32 θ. This is the reference's canonical staging
+    (Hyperparameters.jl:18-81), which r2 could not run in the f32 TPU regime."""
+    from odinn_tpu.laws.laws import LawA_inversion
+
+    tspan = (5.0, 5.5)
+    params = Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=tspan, use_MB=False,
+                                        float_dtype="float32", test_mode=True),
+        solver=SolverParameters(step=1.0 / 12.0, solver="SI", cg_iters=15),
+        hyper=Hyperparameters(optimizer=("adam", "lbfgs"), learning_rate=(0.1, 1.0),
+                              epochs=(5, 8)),
+        UDE=UDEParameters(grad="jax", target="A"),
+    )
+    glaciers = [halfar_glacier(nx=28, ny=28, dx=140.0, temp=-18.0, rgi_id="f32-1")]
+    truth_model = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
+    tstops = build_tstops(tspan, params.solver.step)
+    glaciers = generate_ground_truth(glaciers, params, truth_model, tstops, store=("H",))
+    glaciers = [jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x, g)
+        for g in glaciers]
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    assert inv.theta["A"].dtype == jnp.float32
+    results = run_inversion(inv)
+    assert np.isfinite(results.stats.losses).all()
+    assert results.stats.final_loss <= results.stats.losses[0]
+    # explicit selection also works
+    params2 = params.replace(hyper=Hyperparameters(
+        optimizer=("adam",), learning_rate=(0.1,), epochs=(1,),
+        lbfgs_linesearch="bogus"))
+    inv2 = Inversion(model=model, glaciers=glaciers, parameters=params2)
+    run_inversion(inv2)   # adam-only: linesearch name unused
+    params3 = params.replace(hyper=Hyperparameters(
+        optimizer=("lbfgs",), learning_rate=(1.0,), epochs=(1,),
+        lbfgs_linesearch="bogus"))
+    inv3 = Inversion(model=model, glaciers=glaciers, parameters=params3)
+    with pytest.raises(ValueError, match="lbfgs_linesearch"):
+        run_inversion(inv3)
+
+
 def test_dummy_adjoint_pipeline(inversion_setup):
     """Training-pipeline smoke test with a fake gradient (grad_free_test.jl
     equivalent, /root/reference/test/grad_free_test.jl:1-91)."""
