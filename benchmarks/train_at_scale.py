@@ -1,7 +1,8 @@
 """North-star scenario (BASELINE.md): inversions over 100+ glaciers on TPU.
 
-Two parts, both 128 Halfar glaciers / 128x128 grids / 2 years monthly /
-float32 / semi-implicit solver / FULL-batch training on one chip:
+Three parts, all 128 Halfar glaciers / 128x128 grids / 2 years monthly /
+float32 / semi-implicit solver / FULL-batch training on one chip
+(ODINN_BENCH_PARTS selects a subset, e.g. "3"; results merge into the JSON):
 
 1. **Classical inversion** (per-glacier scalar A, LawA_inversion): the
    honest at-scale analogue of the reference's CI convergence gates
@@ -105,13 +106,26 @@ def main():
                               empirical_loss_function=loss),
         )
 
-    temps, glaciers = build_glaciers(NG, NX)
+    # ODINN_BENCH_PARTS selects which parts run (e.g. "3" after an OOM fix);
+    # results merge into the existing JSON so prior parts survive.
+    parts = os.environ.get("ODINN_BENCH_PARTS", "123")
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "train_at_scale_result.json")
+    result_prev = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            result_prev = json.load(f)
+
+    temps = np.linspace(-25.0, -14.0, NG)
     params = make_params([("adam", 0.1, 1)])
     tstops = build_tstops(params.simulation.tspan, params.solver.step)
     truth = Model(iceflow=SIA2DModel(A=CuffeyPaterson(), n_value=3.0))
-    t0 = time.time()
-    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
-    t_gt = time.time() - t0
+    t_gt = 0.0
+    if "1" in parts or "2" in parts:
+        temps, glaciers = build_glaciers(NG, NX)
+        t0 = time.time()
+        glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+        t_gt = time.time() - t0
 
     def a_rels(law, theta, idxs):
         out = []
@@ -121,153 +135,162 @@ def main():
             out.append(abs(a_nn - a_ref) / a_ref)
         return out
 
-    result = {"n_glaciers": NG, "grid": NX, "dtype": "float32", "solver": "SI",
-              "batch": "full", "ground_truth_s": round(t_gt, 2)}
+    result = {**result_prev,
+              "n_glaciers": NG, "grid": NX, "dtype": "float32", "solver": "SI",
+              "batch": "full"}
+    if t_gt:
+        result["ground_truth_s"] = round(t_gt, 2)
+    phys = params.physical
+    a_ref = np.asarray([float(a_true_fn(jnp.asarray(float(t)))) for t in temps])
 
     # ---- part 1: classical per-glacier inversion at the reference gates ----
+    if "1" in parts:
+        _run_part1 = True
+    else:
+        _run_part1 = False
     stages = [("adam", 0.1, 60), ("adam", 0.02, 60), ("adam", 0.004, 60),
               ("adam", 8e-4, 80), ("adam", 1.6e-4, 80), ("adam", 3e-5, 80)]
     params = make_params(stages)
     model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True), n_value=3.0))
-    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
-    inv.theta = jax.tree.map(lambda x: x.astype(jnp.float32), inv.theta)
-    t0 = time.time()
-    res = run_inversion(inv)
-    t_tr = time.time() - t0
-    L = res.stats.losses
-    phys = params.physical
-    a_rec = phys.min_A + (phys.max_A - phys.min_A) * (
-        np.tanh(np.asarray(inv.theta["A"], np.float64)) + 1) / 2
-    a_ref = np.asarray([float(a_true_fn(jnp.asarray(float(t)))) for t in temps])
-    rels = np.abs(a_rec - a_ref) / a_ref
-    result["classical"] = {
-        "train_s": round(t_tr, 2), "niter": res.stats.niter,
-        "s_per_epoch": round(t_tr / res.stats.niter, 3),
-        "loss0": float(L[0]), "loss_best": float(res.stats.final_loss),
-        "loss_ratio": float(res.stats.final_loss / L[0]),
-        "A_relerr_max": float(rels.max()), "A_relerr_median": float(np.median(rels)),
-        "A_relerr_min": float(rels.min()),
-        "gates": {"loss_ratio<=1e-6": bool(res.stats.final_loss / L[0] <= 1e-6),
-                  "relerr_max<=1e-3": bool(rels.max() <= 1e-3),
-                  "relerr_min<=1e-4": bool(rels.min() <= 1e-4)},
-    }
-    print(json.dumps(result["classical"], indent=1), flush=True)
+    if _run_part1:
+        inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+        inv.theta = jax.tree.map(lambda x: x.astype(jnp.float32), inv.theta)
+        t0 = time.time()
+        res = run_inversion(inv)
+        t_tr = time.time() - t0
+        L = res.stats.losses
+        a_rec = phys.min_A + (phys.max_A - phys.min_A) * (
+            np.tanh(np.asarray(inv.theta["A"], np.float64)) + 1) / 2
+        rels = np.abs(a_rec - a_ref) / a_ref
+        result["classical"] = {
+            "train_s": round(t_tr, 2), "niter": res.stats.niter,
+            "s_per_epoch": round(t_tr / res.stats.niter, 3),
+            "loss0": float(L[0]), "loss_best": float(res.stats.final_loss),
+            "loss_ratio": float(res.stats.final_loss / L[0]),
+            "A_relerr_max": float(rels.max()), "A_relerr_median": float(np.median(rels)),
+            "A_relerr_min": float(rels.min()),
+            "gates": {"loss_ratio<=1e-6": bool(res.stats.final_loss / L[0] <= 1e-6),
+                      "relerr_max<=1e-3": bool(rels.max() <= 1e-3),
+                      "relerr_min<=1e-4": bool(rels.min() <= 1e-4)},
+        }
+        print(json.dumps(result["classical"], indent=1), flush=True)
 
     # ---- part 2: functional inversion (UDE) to the reference gates ----
     # classical-A pretrain (f64 dense LM, subprocess keeps this process f32)
     # -> f32 PDE fine-tune with Jacobi-PCG Levenberg-Marquardt. Adam-from-
     # cold + LM reached only ratio 1.5e-4 / rel 4-6e-2 (r2); the pretrained
     # start lands inside LM's quadratic basin.
-    import subprocess
-    import tempfile
+    if "2" in parts:
+        import subprocess
+        import tempfile
 
-    from odinn_tpu.models.nn import MLP
-    from odinn_tpu.simulation.inversion import (assemble_tstops,
-                                                batch_transient_loss)
+        from odinn_tpu.models.nn import MLP
+        from odinn_tpu.simulation.inversion import (assemble_tstops,
+                                                    batch_transient_loss)
 
-    # 8 Fourier frequencies -> 32 tanh -> sigmoid log head: plain tanh nets
-    # plateau at ~1.7e-5 max rel err fitting the 128 recovered A's (spectral
-    # bias); this architecture interpolates them to f64 machine precision
-    # (f32-eval rel err ~6e-7), so the pretrained start lands essentially AT
-    # the classical optimum
-    N_FOURIER = 8
-    arch = MLP((2 * N_FOURIER, 32, 1), ("tanh", "sigmoid"))
-    prescale_bounds = ((-25.0, 0.0),)
-    stages = [("lm", 1e-2, 10)]
-    params = make_params(stages, gn_cg_iters=20, gn_glacier_norm=True)
-    nn = NeuralNetwork(arch, seed=666)
-    law = LawA(nn, params, head="log", prescale_bounds=prescale_bounds,
-               n_fourier=N_FOURIER)
-    model = Model(iceflow=SIA2DModel(A=law, n_value=3.0))
-    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
-    theta_cold = jax.tree.map(lambda x: x.astype(jnp.float32), inv.theta)
-    # cold-start loss: the ratio gate's denominator (the pipeline's initial θ
-    # is the default Glorot init; classical+pretrain+LM is the optimizer)
-    tst = assemble_tstops(params, inv.glaciers)
-    eval_true = jax.jit(lambda th, b: batch_transient_loss(th, b, model, params, tst))
-    loss0_cold = float(eval_true(theta_cold, inv.glaciers))
+        # 8 Fourier frequencies -> 32 tanh -> sigmoid log head: plain tanh nets
+        # plateau at ~1.7e-5 max rel err fitting the 128 recovered A's (spectral
+        # bias); this architecture interpolates them to f64 machine precision
+        # (f32-eval rel err ~6e-7), so the pretrained start lands essentially AT
+        # the classical optimum
+        N_FOURIER = 8
+        arch = MLP((2 * N_FOURIER, 32, 1), ("tanh", "sigmoid"))
+        prescale_bounds = ((-25.0, 0.0),)
+        stages = [("lm", 1e-2, 10)]
+        params = make_params(stages, gn_cg_iters=20, gn_glacier_norm=True)
+        nn = NeuralNetwork(arch, seed=666)
+        law = LawA(nn, params, head="log", prescale_bounds=prescale_bounds,
+                   n_fourier=N_FOURIER)
+        model = Model(iceflow=SIA2DModel(A=law, n_value=3.0))
+        inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+        theta_cold = jax.tree.map(lambda x: x.astype(jnp.float32), inv.theta)
+        # cold-start loss: the ratio gate's denominator (the pipeline's initial θ
+        # is the default Glorot init; classical+pretrain+LM is the optimizer)
+        tst = assemble_tstops(params, inv.glaciers)
+        eval_true = jax.jit(lambda th, b: batch_transient_loss(th, b, model, params, tst))
+        loss0_cold = float(eval_true(theta_cold, inv.glaciers))
 
-    def pretrain(weights=None, init=None):
-        with tempfile.TemporaryDirectory() as td:
-            fin, fout = os.path.join(td, "in.npz"), os.path.join(td, "out.npz")
-            kw = {}
-            if weights is not None:
-                kw["sample_weights"] = np.asarray(weights, np.float64)
-            if init is not None:
-                for i, l in enumerate(init):
-                    kw[f"init_w{i}"] = np.asarray(l["w"], np.float64)
-                    kw[f"init_b{i}"] = np.asarray(l["b"], np.float64)
-            np.savez(fin, temps=np.asarray(temps, np.float64), A=a_rec,
-                     widths=np.asarray(arch.widths), acts=np.asarray(arch.activations),
-                     seed=666, min_A=phys.min_A, max_A=phys.max_A, head="log",
-                     prescale_bounds=np.asarray(prescale_bounds, np.float64),
-                     iters=600, n_fourier=N_FOURIER, restarts=3, **kw)
-            subprocess.run([sys.executable,
-                            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                         "_pretrain_A_sub.py"), fin, fout],
-                           check=True)
-            fit = np.load(fout)
-            return [{"w": fit[f"w{i}"], "b": fit[f"b{i}"]}
-                    for i in range(len(arch.widths) - 1)]
+        def pretrain(weights=None, init=None):
+            with tempfile.TemporaryDirectory() as td:
+                fin, fout = os.path.join(td, "in.npz"), os.path.join(td, "out.npz")
+                kw = {}
+                if weights is not None:
+                    kw["sample_weights"] = np.asarray(weights, np.float64)
+                if init is not None:
+                    for i, l in enumerate(init):
+                        kw[f"init_w{i}"] = np.asarray(l["w"], np.float64)
+                        kw[f"init_b{i}"] = np.asarray(l["b"], np.float64)
+                np.savez(fin, temps=np.asarray(temps, np.float64), A=a_rec,
+                         widths=np.asarray(arch.widths), acts=np.asarray(arch.activations),
+                         seed=666, min_A=phys.min_A, max_A=phys.max_A, head="log",
+                         prescale_bounds=np.asarray(prescale_bounds, np.float64),
+                         iters=600, n_fourier=N_FOURIER, restarts=3, **kw)
+                subprocess.run([sys.executable,
+                                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                             "_pretrain_A_sub.py"), fin, fout],
+                               check=True)
+                fit = np.load(fout)
+                return [{"w": fit[f"w{i}"], "b": fit[f"b{i}"]}
+                        for i in range(len(arch.widths) - 1)]
 
-    def to_f32(th64):
-        return {"A": [{k: jnp.asarray(v, jnp.float32) for k, v in l.items()}
-                      for l in th64]}
+        def to_f32(th64):
+            return {"A": [{k: jnp.asarray(v, jnp.float32) for k, v in l.items()}
+                          for l in th64]}
 
-    from odinn_tpu.simulation.inversion import glacier_transient_loss
+        from odinn_tpu.simulation.inversion import glacier_transient_loss
 
-    t0 = time.time()
-    # pass 1: flat fit to the classical A's
-    th1 = pretrain()
-    theta1 = to_f32(th1)
-    l1 = float(eval_true(theta1, inv.glaciers))
-    # pass 2: curvature-matched refit — weight glacier g by its measured
-    # PDE-loss curvature c_g = L_g/ε_g² so the weighted curve fit minimizes
-    # the PREDICTED PDE loss (cold glaciers barely move → low curvature →
-    # loose fit is fine there; stiff fast glaciers get fit tightest)
-    per_g_fn = jax.jit(lambda th, b: jax.vmap(
-        lambda g, i: glacier_transient_loss(th, g, i, model, params, tst)[0]
-    )(b, jnp.arange(NG)))
-    L_g = np.asarray(jax.device_get(per_g_fn(theta1, inv.glaciers)), np.float64)
-    a_nn1 = np.asarray([float(eval_law(law, theta1, glaciers[i], glacier_idx=i))
-                        for i in range(NG)], np.float64)
-    eps_g = np.maximum(np.abs(a_nn1 - a_rec) / a_rec, 1e-7)
-    c_g = L_g / eps_g**2
-    w_g = np.clip(c_g / max(c_g.mean(), 1e-300), 1e-3, 1e3)
-    th2 = pretrain(weights=w_g, init=th1)
-    theta2 = to_f32(th2)
-    l2 = float(eval_true(theta2, inv.glaciers))
-    inv.theta = theta2 if l2 < l1 else theta1
-    loss_pre = min(l1, l2)
-    t_pre = time.time() - t0
-    print(json.dumps({"pretrain_pass1_loss": l1, "pretrain_pass2_loss": l2}),
-          flush=True)
+        t0 = time.time()
+        # pass 1: flat fit to the classical A's
+        th1 = pretrain()
+        theta1 = to_f32(th1)
+        l1 = float(eval_true(theta1, inv.glaciers))
+        # pass 2: curvature-matched refit — weight glacier g by its measured
+        # PDE-loss curvature c_g = L_g/ε_g² so the weighted curve fit minimizes
+        # the PREDICTED PDE loss (cold glaciers barely move → low curvature →
+        # loose fit is fine there; stiff fast glaciers get fit tightest)
+        per_g_fn = jax.jit(lambda th, b: jax.vmap(
+            lambda g, i: glacier_transient_loss(th, g, i, model, params, tst)[0]
+        )(b, jnp.arange(NG)))
+        L_g = np.asarray(jax.device_get(per_g_fn(theta1, inv.glaciers)), np.float64)
+        a_nn1 = np.asarray([float(eval_law(law, theta1, glaciers[i], glacier_idx=i))
+                            for i in range(NG)], np.float64)
+        eps_g = np.maximum(np.abs(a_nn1 - a_rec) / a_rec, 1e-7)
+        c_g = L_g / eps_g**2
+        w_g = np.clip(c_g / max(c_g.mean(), 1e-300), 1e-3, 1e3)
+        th2 = pretrain(weights=w_g, init=th1)
+        theta2 = to_f32(th2)
+        l2 = float(eval_true(theta2, inv.glaciers))
+        inv.theta = theta2 if l2 < l1 else theta1
+        loss_pre = min(l1, l2)
+        t_pre = time.time() - t0
+        print(json.dumps({"pretrain_pass1_loss": l1, "pretrain_pass2_loss": l2}),
+              flush=True)
 
-    t0 = time.time()
-    res = run_inversion(inv)
-    t_tr = time.time() - t0
-    rels_pts = a_rels(model.iceflow.A, inv.theta, range(NG))
-    rels_arr = np.asarray(rels_pts)
-    ratio = float(res.stats.final_loss / loss0_cold)
-    result["ude_nn"] = {
-        "head": "log", "arch": "fourier8-32-1 tanh (prescaled T)",
-        "pipeline": "classical-A pretrain (dense LM, f64) + PDE LM fine-tune (f32, Jacobi-PCG)",
-        "pretrain_s": round(t_pre, 2), "train_s": round(t_tr, 2),
-        "niter": res.stats.niter,
-        "s_per_epoch": round(t_tr / max(res.stats.niter, 1), 3),
-        "loss0_cold": loss0_cold,
-        "loss_pretrained": loss_pre,
-        "loss_best": float(res.stats.final_loss),
-        "loss_ratio": ratio,
-        "A_relerr_max": float(rels_arr.max()),
-        "A_relerr_median": float(np.median(rels_arr)),
-        "A_relerr_min": float(rels_arr.min()),
-        "A_relerr_cold_mid_warm": [rels_pts[0], rels_pts[NG // 2], rels_pts[NG - 1]],
-        "gates": {"loss_ratio<=1e-6": bool(ratio <= 1e-6),
-                  "relerr_max<=1e-3": bool(rels_arr.max() <= 1e-3),
-                  "relerr_min<=1e-4": bool(rels_arr.min() <= 1e-4)},
-    }
-    print(json.dumps(result["ude_nn"], indent=1), flush=True)
+        t0 = time.time()
+        res = run_inversion(inv)
+        t_tr = time.time() - t0
+        rels_pts = a_rels(model.iceflow.A, inv.theta, range(NG))
+        rels_arr = np.asarray(rels_pts)
+        ratio = float(res.stats.final_loss / loss0_cold)
+        result["ude_nn"] = {
+            "head": "log", "arch": "fourier8-32-1 tanh (prescaled T)",
+            "pipeline": "classical-A pretrain (dense LM, f64) + PDE LM fine-tune (f32, Jacobi-PCG)",
+            "pretrain_s": round(t_pre, 2), "train_s": round(t_tr, 2),
+            "niter": res.stats.niter,
+            "s_per_epoch": round(t_tr / max(res.stats.niter, 1), 3),
+            "loss0_cold": loss0_cold,
+            "loss_pretrained": loss_pre,
+            "loss_best": float(res.stats.final_loss),
+            "loss_ratio": ratio,
+            "A_relerr_max": float(rels_arr.max()),
+            "A_relerr_median": float(np.median(rels_arr)),
+            "A_relerr_min": float(rels_arr.min()),
+            "A_relerr_cold_mid_warm": [rels_pts[0], rels_pts[NG // 2], rels_pts[NG - 1]],
+            "gates": {"loss_ratio<=1e-6": bool(ratio <= 1e-6),
+                      "relerr_max<=1e-3": bool(rels_arr.max() <= 1e-3),
+                      "relerr_min<=1e-4": bool(rels_arr.min() <= 1e-4)},
+        }
+        print(json.dumps(result["ude_nn"], indent=1), flush=True)
 
     # ---- part 3: PRODUCTION physics — MB callbacks + LossHV at scale ----
     # the configuration the reference's real workflows run
@@ -275,50 +298,51 @@ def main():
     # the H+V composite loss, Losses.jl:250-441): classical per-glacier
     # inversion with MB on, trained Adam-ladder -> LM (the LM residuals
     # cover LossHV exactly), reference CI gates enforced.
-    from odinn_tpu.losses.losses import LossHV, MultiLoss
-    from odinn_tpu.physics.mass_balance import TImodel1
+    if "3" in parts:
+        from odinn_tpu.losses.losses import LossHV, MultiLoss
+        from odinn_tpu.physics.mass_balance import TImodel1
 
-    temps3, glaciers3 = build_glaciers(NG, NX, with_climate=True)
-    stages3 = [("adam", 0.1, 60), ("adam", 0.02, 60), ("adam", 0.004, 60),
-               ("lm", 1e-2, 20)]
-    params3 = make_params(stages3, gn_cg_iters=12, gn_glacier_norm=True,
-                          use_MB=True, use_velocities=True,
-                          loss=MultiLoss((LossHV(),), (1.0,)))
-    tst3 = build_tstops(params3.simulation.tspan, params3.solver.step)
-    truth3 = Model(iceflow=SIA2DModel(A=CuffeyPaterson(), n_value=3.0),
-                   mass_balance=TImodel1())
-    t0 = time.time()
-    glaciers3 = generate_ground_truth(glaciers3, params3, truth3, tst3,
-                                      store=("H", "V"))
-    t_gt3 = time.time() - t0
-    model3 = Model(iceflow=SIA2DModel(A=LawA_inversion(params3, scalar=True),
-                                      n_value=3.0),
-                   mass_balance=TImodel1())
-    inv3 = Inversion(model=model3, glaciers=glaciers3, parameters=params3)
-    inv3.theta = jax.tree.map(lambda x: x.astype(jnp.float32), inv3.theta)
-    t0 = time.time()
-    res3 = run_inversion(inv3)
-    t_tr3 = time.time() - t0
-    L3 = res3.stats.losses
-    a_rec3 = phys.min_A + (phys.max_A - phys.min_A) * (
-        np.tanh(np.asarray(inv3.theta["A"], np.float64)) + 1) / 2
-    rels3 = np.abs(a_rec3 - a_ref) / a_ref
-    ratio3 = float(res3.stats.final_loss / L3[0])
-    result["production_mb_hv"] = {
-        "physics": "monthly TImodel1 MB callback + LossHV (H + xy velocities)",
-        "ground_truth_s": round(t_gt3, 2),
-        "train_s": round(t_tr3, 2), "niter": res3.stats.niter,
-        "s_per_epoch": round(t_tr3 / max(res3.stats.niter, 1), 3),
-        "loss0": float(L3[0]), "loss_best": float(res3.stats.final_loss),
-        "loss_ratio": ratio3,
-        "A_relerr_max": float(rels3.max()),
-        "A_relerr_median": float(np.median(rels3)),
-        "A_relerr_min": float(rels3.min()),
-        "gates": {"loss_ratio<=1e-6": bool(ratio3 <= 1e-6),
-                  "relerr_max<=1e-3": bool(rels3.max() <= 1e-3),
-                  "relerr_min<=1e-4": bool(rels3.min() <= 1e-4)},
-    }
-    print(json.dumps(result["production_mb_hv"], indent=1), flush=True)
+        temps3, glaciers3 = build_glaciers(NG, NX, with_climate=True)
+        stages3 = [("adam", 0.1, 60), ("adam", 0.02, 60), ("adam", 0.004, 60),
+                   ("lm", 1e-2, 20)]
+        params3 = make_params(stages3, gn_cg_iters=12, gn_glacier_norm=True,
+                              use_MB=True, use_velocities=True,
+                              loss=MultiLoss((LossHV(),), (1.0,)))
+        tst3 = build_tstops(params3.simulation.tspan, params3.solver.step)
+        truth3 = Model(iceflow=SIA2DModel(A=CuffeyPaterson(), n_value=3.0),
+                       mass_balance=TImodel1())
+        t0 = time.time()
+        glaciers3 = generate_ground_truth(glaciers3, params3, truth3, tst3,
+                                          store=("H", "V"))
+        t_gt3 = time.time() - t0
+        model3 = Model(iceflow=SIA2DModel(A=LawA_inversion(params3, scalar=True),
+                                          n_value=3.0),
+                       mass_balance=TImodel1())
+        inv3 = Inversion(model=model3, glaciers=glaciers3, parameters=params3)
+        inv3.theta = jax.tree.map(lambda x: x.astype(jnp.float32), inv3.theta)
+        t0 = time.time()
+        res3 = run_inversion(inv3)
+        t_tr3 = time.time() - t0
+        L3 = res3.stats.losses
+        a_rec3 = phys.min_A + (phys.max_A - phys.min_A) * (
+            np.tanh(np.asarray(inv3.theta["A"], np.float64)) + 1) / 2
+        rels3 = np.abs(a_rec3 - a_ref) / a_ref
+        ratio3 = float(res3.stats.final_loss / L3[0])
+        result["production_mb_hv"] = {
+            "physics": "monthly TImodel1 MB callback + LossHV (H + xy velocities)",
+            "ground_truth_s": round(t_gt3, 2),
+            "train_s": round(t_tr3, 2), "niter": res3.stats.niter,
+            "s_per_epoch": round(t_tr3 / max(res3.stats.niter, 1), 3),
+            "loss0": float(L3[0]), "loss_best": float(res3.stats.final_loss),
+            "loss_ratio": ratio3,
+            "A_relerr_max": float(rels3.max()),
+            "A_relerr_median": float(np.median(rels3)),
+            "A_relerr_min": float(rels3.min()),
+            "gates": {"loss_ratio<=1e-6": bool(ratio3 <= 1e-6),
+                      "relerr_max<=1e-3": bool(rels3.max() <= 1e-3),
+                      "relerr_min<=1e-4": bool(rels3.min() <= 1e-4)},
+        }
+        print(json.dumps(result["production_mb_hv"], indent=1), flush=True)
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "train_at_scale_result.json"), "w") as f:

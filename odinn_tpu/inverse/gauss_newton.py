@@ -137,7 +137,7 @@ def lm_train(
         _, pb = jax.vjp(lambda th: resid(th, batch), theta)
         leaves, tdef = jax.tree.flatten(theta)
 
-        def one(key):
+        def one(carry, key):
             ks = jax.random.split(key, len(leaves))
             v = jax.tree.unflatten(
                 tdef,
@@ -145,10 +145,17 @@ def lm_train(
             )
             _, jv = jax.jvp(lambda th: resid(th, batch), (theta,), (v,))
             (jtv,) = pb(jv)
-            return jax.tree.map(lambda a, b: jnp.mean(a * b), v, jtv)
+            contrib = jax.tree.map(lambda a, b: jnp.mean(a * b), v, jtv)
+            return jax.tree.map(jnp.add, carry, contrib), None
 
-        probes = [one(k) for k in jax.random.split(key, max(diag_probes, 1))]
-        acc = jax.tree.map(lambda *xs: sum(xs) / len(probes), *probes)
+        # sequential probes via scan: unrolled probes let XLA keep several
+        # full JVP residual trajectories (~[G, T, nx, ny] each) live at once,
+        # which OOMs HBM at 128 glaciers / 128² grids — scan bounds the
+        # working set to one probe
+        n = max(diag_probes, 1)
+        zeros = jax.tree.map(lambda l: jnp.zeros((), l.dtype), theta)
+        acc, _ = jax.lax.scan(one, zeros, jax.random.split(key, n))
+        acc = jax.tree.map(lambda x: x / n, acc)
         # floor: a leaf the residual doesn't touch (zero curvature) must not
         # blow up the inverse — clamp at a fraction of the tree-wide mean
         mean = sum(jnp.asarray(l) for l in jax.tree.leaves(acc)) / len(leaves)

@@ -72,10 +72,12 @@ def plot_gridded_data(data, title: str = "", cmap: str = "viridis", mask=None):
 
 
 def plot_law(law, theta, glacier, input_ranges: dict, truth_fn=None, n: int = 100,
-             glacier_idx: int = 0, t: float = 0.0):
+             glacier_idx: int = 0, t: float = 0.0, surface: bool = False):
     """Evaluate a law over 1 or 2 swept inputs (plot_law equivalent,
     /root/reference/src/laws/laws_plots.jl): line plot for one input,
-    heatmap for two; optional ground-truth overlay."""
+    heatmap for two (or a 3-D surface with ``surface=True``, matching the
+    reference's PlotlyJS surface view — truth overlaid as a wireframe);
+    optional ground-truth overlay."""
     import jax.numpy as jnp
 
     names = list(input_ranges.keys())
@@ -116,6 +118,22 @@ def plot_law(law, theta, glacier, input_ranges: dict, truth_fn=None, n: int = 10
             return np.ravel(np.asarray(law.apply(theta, inp)))[0]
 
         Z = np.array([[eval_xy(x, y) for y in ys] for x in xs])
+        if surface:
+            fig = plt.figure(figsize=(7, 5.5))
+            ax = fig.add_subplot(projection="3d")
+            YY, XX = np.meshgrid(ys, xs)
+            surf = ax.plot_surface(XX, YY, Z, cmap="magma", alpha=0.9,
+                                   linewidth=0, antialiased=True)
+            if truth_fn is not None:
+                Zt = np.array([[float(truth_fn(x, y)) for y in ys] for x in xs])
+                ax.plot_wireframe(XX, YY, Zt, color="k", linewidth=0.4,
+                                  rstride=max(n // 12, 1), cstride=max(n // 12, 1),
+                                  label="truth")
+            ax.set_xlabel(nx_name)
+            ax.set_ylabel(ny_name)
+            ax.set_zlabel(law.slot)
+            fig.colorbar(surf, ax=ax, shrink=0.6, label=law.slot)
+            return fig
         fig, ax = plt.subplots(figsize=(6, 4.5))
         im = ax.pcolormesh(ys, xs, Z, shading="auto", cmap="magma")
         ax.set_xlabel(ny_name)

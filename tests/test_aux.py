@@ -91,6 +91,23 @@ def test_plotting(tmp_path):
         str(tmp_path / "law.png"),
     )
     save_plot(plot_cumulative_mb(g, TImodel1(), (5.0, 6.0)), str(tmp_path / "mb.png"))
+    # 3-D surface view of a 2-input law (laws_plots.jl PlotlyJS-surface parity)
+    from odinn_tpu.core.params import Parameters
+    from odinn_tpu.laws.laws import LawU
+    from odinn_tpu.models.model import Model, SIA2DModel, init_theta
+    from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+
+    params2 = Parameters()
+    law_u = LawU(NeuralNetwork(default_architecture(2, light=True), seed=2),
+                 params2, max_nn=2000.0,
+                 prescale_bounds=((0.0, 500.0), (0.0, 0.3)))
+    theta_u = init_theta(Model(iceflow=SIA2DModel(U=law_u)), [g])
+    save_plot(
+        plot_law(law_u, theta_u, g, {"Hbar": (0.0, 500.0), "gradS": (0.0, 0.3)},
+                 n=12, surface=True,
+                 truth_fn=lambda h, s: 1e-2 * h * s),
+        str(tmp_path / "law_surface.png"),
+    )
     traj = jnp.stack([g.H0, g.H0 * 0.9, g.H0 * 0.8])
     plot_glacier_vid(str(tmp_path / "vid.gif"), traj, g)
     for f in ["glacier.png", "grid.png", "law.png", "mb.png", "vid.gif"]:

@@ -179,3 +179,48 @@ def test_manual_adjoint_with_aggregate_terms(mb_setup):
     np.testing.assert_allclose(float(val), float(loss_fn(inv.theta)), rtol=1e-8)
     rel = abs(float(g_man["A"][0] - g_ad["A"][0])) / abs(float(g_ad["A"][0]))
     assert rel < 1e-6, f"aggregate-term manual adjoint vs AD rel {rel}"
+
+
+def test_discrete_adjoint_production_config_mb_hv():
+    """The PRODUCTION configuration — monthly TImodel1 MB callback + LossHV
+    (H + velocities) — under the manual DiscreteAdjoint, FD- and AD-checked
+    (the reference's real workflows couple exactly this,
+    inversion_utils.jl:498-517 + Losses.jl:250-441)."""
+    from odinn_tpu.losses.losses import LossHV, MultiLoss
+
+    params = Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=TSPAN, use_MB=True, step_MB=1.0 / 12.0,
+                                        use_velocities=True),
+        solver=SolverParameters(step=1.0 / 12.0, substeps=10),
+        hyper=Hyperparameters(optimizer=("adam",), learning_rate=(0.1,), epochs=(1,)),
+        UDE=UDEParameters(grad="jax",
+                          empirical_loss_function=MultiLoss((LossHV(),), (1.0,))),
+    )
+    clim = monthly_dummy_climate(5.0, 12, temp_mean=-1.0, nx=28, ny=28)
+    g = halfar_glacier(nx=28, ny=28, dx=140.0, temp=-15.0, A=A_TRUE, climate=clim)
+    g = g.replace(B=jnp.full_like(g.B, 1800.0))
+    tstops = build_tstops(TSPAN, params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=ConstantA(A_TRUE)), mass_balance=TImodel1())
+    glaciers = generate_ground_truth([g], params, truth, tstops, store=("H", "V"))
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)),
+                  mass_balance=TImodel1())
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    inv.theta = {"A": jnp.array([0.2])}
+    loss_fn = jax.jit(
+        lambda th: batch_transient_loss(th, inv.glaciers, model, params, tstops))
+
+    adjoint = DiscreteAdjoint(VJP_method=AutoVJP())
+    p2 = params.replace(UDE=UDEParameters(
+        grad=adjoint, empirical_loss_function=MultiLoss((LossHV(),), (1.0,))))
+    inv2 = Inversion(model=model, glaciers=glaciers, parameters=p2, theta=inv.theta)
+    vg = make_adjoint_value_and_grad(inv2, flavor="discrete")
+    val, grads = vg(inv.theta)
+    np.testing.assert_allclose(float(val), float(loss_fn(inv.theta)), rtol=1e-8)
+
+    g_ad = jax.grad(loss_fn)(inv.theta)
+    rel = abs(float(grads["A"][0] - g_ad["A"][0])) / abs(float(g_ad["A"][0]))
+    assert rel < 1e-6, f"production-config adjoint vs AD rel {rel}"
+    g_fd = fd_gradient(loss_fn, inv.theta, eps=1e-6)
+    ratio, angle, relerr = grad_metrics(np.asarray(grads["A"]), g_fd)
+    assert relerr < 1e-5, f"production-config adjoint vs FD relerr {relerr}"
