@@ -46,13 +46,17 @@ def main():
     EPOCHS = 12
     results = []
     for NG in (128, 256, 512):
+        # the stored fwd trajectory (remat=False, ~15-25% faster) fits HBM
+        # to 256 glaciers; at 512 the fwd+grad program exceeds 15.75 GiB by
+        # ~1.5 GiB, so the 512 point pays the per-interval rematerialization
+        remat = NG >= 512
         params = Parameters(
             physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
             simulation=SimulationParameters(tspan=(5.0, 7.0), use_MB=False,
                                             use_velocities=False,
                                             float_dtype="float32"),
             solver=SolverParameters(step=1 / 12, substeps=1, solver="SI",
-                                    cg_iters=20, remat=False),
+                                    cg_iters=20, remat=remat),
             hyper=Hyperparameters(optimizer="adam", learning_rate=0.1,
                                   epochs=EPOCHS, batch_size=NG),
             UDE=UDEParameters(grad="jax", target="A"),
@@ -98,7 +102,7 @@ def main():
         row = {"n_glaciers": NG, "grid": NX, "ground_truth_s": round(t_gt, 2),
                "s_per_epoch": round(dt, 4),
                "glaciers_per_s": round(NG / dt, 1),
-               "hbm_gib": mem, "loss": float(val)}
+               "hbm_gib": mem, "remat": remat, "loss": float(val)}
         results.append(row)
         print(json.dumps(row), flush=True)
         del batch, glaciers, theta, state

@@ -224,3 +224,24 @@ def test_discrete_adjoint_production_config_mb_hv():
     g_fd = fd_gradient(loss_fn, inv.theta, eps=1e-6)
     ratio, angle, relerr = grad_metrics(np.asarray(grads["A"]), g_fd)
     assert relerr < 1e-5, f"production-config adjoint vs FD relerr {relerr}"
+
+
+def test_continuous_adjoint_with_mb(mb_setup):
+    """ContinuousAdjoint with the MB pullback injected at save boundaries
+    (±MB × continuous rows of runtests.jl:114-266). λ is discontinuous at MB
+    boundaries, so the Hermite interval interpolation feeding the quadrature
+    degrades relative to the smooth case: measured 6.0e-3 vs AD — the
+    reference's continuous-with-callbacks tier (runtests.jl holds continuous
+    rows at 1e-2 under forcing); gate 1e-2."""
+    from odinn_tpu.inverse.adjoint_types import ContinuousAdjoint
+
+    params, inv, model, loss_fn = mb_setup
+    adjoint = ContinuousAdjoint(VJP_method=DiscreteVJP(), n_quadrature=60)
+    p2 = params.replace(UDE=UDEParameters(grad=adjoint))
+    inv2 = Inversion(model=model, glaciers=inv.glaciers, parameters=p2, theta=inv.theta)
+    vg = make_adjoint_value_and_grad(inv2, flavor="continuous")
+    val, grads = vg(inv.theta)
+    np.testing.assert_allclose(float(val), float(loss_fn(inv.theta)), rtol=1e-8)
+    g_ad = jax.grad(loss_fn)(inv.theta)
+    rel = abs(float(grads["A"][0] - g_ad["A"][0])) / abs(float(g_ad["A"][0]))
+    assert rel < 1e-2, f"continuous MB-adjoint vs AD rel {rel}"
