@@ -148,6 +148,12 @@ def main():
         _run_part1 = True
     else:
         _run_part1 = False
+    # Adam ladder: tried Adam->LM here (60+30 adam, 15 LM @ cg=12) — worse:
+    # ratio 1.5e-6 / rel 3.1e-3 in 58 s. With one scalar per glacier the GN
+    # system is 128 decoupled 1-d problems; CG spends ~26 solve-equivalents
+    # per LM iter mixing them, while the Adam ladder's last stages are
+    # already second-order-trivial per scalar. LM earns its cost on COUPLED
+    # theta (the NN in part 2, MB+HV in part 3), not here.
     stages = [("adam", 0.1, 60), ("adam", 0.02, 60), ("adam", 0.004, 60),
               ("adam", 8e-4, 80), ("adam", 1.6e-4, 80), ("adam", 3e-5, 80)]
     params = make_params(stages)

@@ -5,6 +5,9 @@ tanh-bounded scalar A per glacier (or a gridded A with Tikhonov rheology
 regularization) against thickness observations.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -7,6 +7,9 @@ ice-flow + mass-balance model, run a Prediction, plot the results.
 Run: python docs/forward_simulation.py   (CPU or TPU)
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 
 if os.environ.get("JAX_PLATFORMS", "") not in ("", "tpu"):

@@ -6,6 +6,9 @@ staged Adam → LBFGS optimization, logging to TensorBoard, and plot the learned
 law against the truth.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 
 import jax.numpy as jnp

@@ -5,6 +5,9 @@ the law system binds parameterizations to PDE slots (A, C, n, Y, U), each law
 consuming named inputs resolved from (glacier, state, t).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax.numpy as jnp
 
 from odinn_tpu.core.params import Parameters, PhysicalParameters

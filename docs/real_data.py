@@ -13,6 +13,9 @@ OGGM output, skip step 0 and point ``PREPRO`` at your preprocessing directory.
 Run: python docs/real_data.py     (CPU or TPU)
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import tempfile
 

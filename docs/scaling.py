@@ -10,6 +10,9 @@ Run on CPU with 8 virtual devices:
       python docs/scaling.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
