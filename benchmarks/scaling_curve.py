@@ -48,8 +48,11 @@ def main():
     for NG in (128, 256, 512):
         # the stored fwd trajectory (remat=False, ~15-25% faster) fits HBM
         # to 256 glaciers; at 512 the fwd+grad program exceeds 15.75 GiB by
-        # ~1.5 GiB, so the 512 point pays the per-interval rematerialization
-        remat = NG >= 512
+        # ~1.5 GiB. Chunked gradient accumulation (2 sequential chunks of
+        # 256) halves the live trajectory WITHOUT recomputation — measured
+        # vs per-interval remat at 512: see scaling_curve_result.json
+        remat = False
+        accum = 2 if NG >= 512 else 1
         params = Parameters(
             physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
             simulation=SimulationParameters(tspan=(5.0, 7.0), use_MB=False,
@@ -58,7 +61,8 @@ def main():
             solver=SolverParameters(step=1 / 12, substeps=1, solver="SI",
                                     cg_iters=20, remat=remat),
             hyper=Hyperparameters(optimizer="adam", learning_rate=0.1,
-                                  epochs=EPOCHS, batch_size=NG),
+                                  epochs=EPOCHS, batch_size=NG,
+                                  grad_accum_chunks=accum),
             UDE=UDEParameters(grad="jax", target="A"),
         )
         temps, glaciers = build_glaciers(NG, NX)
@@ -77,11 +81,17 @@ def main():
         opt = optax.adam(0.1)
         state = opt.init(theta)
 
+        from odinn_tpu.simulation.inversion import Inversion, _make_grad_fn
+
+        inv = Inversion(model=model, glaciers=glaciers, parameters=params,
+                        theta=theta)
+        vg = _make_grad_fn(
+            inv, lambda th, b, ids: batch_transient_loss(th, b, model, params,
+                                                         tstops, glacier_ids=ids))
+
         @jax.jit
         def step(theta, state, b):
-            val, grads = jax.value_and_grad(
-                lambda th: batch_transient_loss(th, b, model, params, tstops)
-            )(theta)
+            val, grads = vg(theta, b)
             updates, state = opt.update(grads, state, theta)
             return optax.apply_updates(theta, updates), state, val
 
@@ -102,7 +112,7 @@ def main():
         row = {"n_glaciers": NG, "grid": NX, "ground_truth_s": round(t_gt, 2),
                "s_per_epoch": round(dt, 4),
                "glaciers_per_s": round(NG / dt, 1),
-               "hbm_gib": mem, "remat": remat, "loss": float(val)}
+               "hbm_gib": mem, "remat": remat, "accum_chunks": accum, "loss": float(val)}
         results.append(row)
         print(json.dumps(row), flush=True)
         del batch, glaciers, theta, state

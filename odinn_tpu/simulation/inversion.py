@@ -325,8 +325,40 @@ def _make_grad_fn(inversion: Inversion, loss_fn_b):
     grad_cfg = inversion.parameters.UDE.grad
     name = grad_cfg if isinstance(grad_cfg, str) else getattr(grad_cfg, "name", "jax")
     if name in ("jax", "sciml"):
+        k = int(getattr(inversion.parameters.hyper, "grad_accum_chunks", 1) or 1)
+        if k <= 1:
+            def vg(theta, b, ids=None):
+                return jax.value_and_grad(loss_fn_b)(theta, b, ids)
+
+            return vg
+
         def vg(theta, b, ids=None):
-            return jax.value_and_grad(loss_fn_b)(theta, b, ids)
+            # sequential chunked accumulation (hyper.grad_accum_chunks): a
+            # lax.scan over k glacier chunks bounds the live reverse-mode
+            # trajectory to one chunk's — exact full-batch loss/grad at 1/k
+            # the memory (beats per-interval remat: nothing is recomputed)
+            n = b.H0.shape[0]
+            if n % k != 0:
+                raise ValueError(
+                    f"grad_accum_chunks={k} must divide the batch of {n} glaciers")
+            idxs = ids if ids is not None else jnp.arange(n)
+
+            def chunked(x):
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == n:
+                    return x.reshape((k, n // k) + x.shape[1:])
+                return x
+
+            cb = jax.tree.map(chunked, b)
+            ci = idxs.reshape(k, n // k)
+
+            def body(acc, chunk):
+                bc, ic = chunk
+                v, g = jax.value_and_grad(loss_fn_b)(theta, bc, ic)
+                return (acc[0] + v, jax.tree.map(jnp.add, acc[1], g)), None
+
+            init = (jnp.zeros((), b.H0.dtype), jax.tree.map(jnp.zeros_like, theta))
+            (val, grads), _ = jax.lax.scan(body, init, (cb, ci))
+            return val, grads
 
         return vg
     if name == "dummy":

@@ -53,6 +53,7 @@ def test_run_dispatch():
         api.run(object())
 
 
+@pytest.mark.slow
 def test_region_split_inversion():
     """Legacy region-split inversion recovers a uniform A within bounds
     (InversionParameters semantics, InversionParameters.jl:18-70)."""

@@ -55,6 +55,7 @@ def ground_truth():
     return params, glaciers, tstops
 
 
+@pytest.mark.slow
 def test_pure_d_target_inversion(ground_truth):
     """Learn U(H̄, |∇S|) with D = H̄·U against standard-SIA truth."""
     params, glaciers, tstops = ground_truth
@@ -71,6 +72,7 @@ def test_pure_d_target_inversion(ground_truth):
     assert losses[-1] < 0.25 * losses[0], f"pure-D inversion stalled: {losses[0]} -> {losses[-1]}"
 
 
+@pytest.mark.slow
 def test_hybrid_d_target_inversion(ground_truth):
     """Learn Y(T, H̄) in the hybrid diffusivity against standard-SIA truth
     (Y ≡ A_true when n_H = n)."""

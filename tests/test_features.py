@@ -67,6 +67,7 @@ def gt():
     return params, glaciers, tstops
 
 
+@pytest.mark.slow
 def test_velocity_loss_inversion(gt):
     """LossHV (thickness + velocity) drives the inversion (Losses.jl LossV/HV
     rows of the matrix)."""
@@ -139,6 +140,7 @@ def test_synthetic_c_law_in_rhs():
     assert np.isfinite(np.asarray(dH)).all()
 
 
+@pytest.mark.slow
 def test_time_aggregated_losses_inversion(gt):
     """LossDhdt + LossAvgV drive gradients (TimeAggregatedLosses rows), with
     the observations produced by ``generate_ground_truth(store=("dhdt",
@@ -332,3 +334,31 @@ def test_lawA_fourier_pretrain_interpolates(gt):
         a_nn = float(eval_law(law, theta, gi, glacier_idx=0))
         rels.append(abs(a_nn - float(a)) / float(a))
     assert max(rels) < 1e-5, f"fourier fit does not interpolate: {max(rels):.2e}"
+
+
+def test_grad_accum_chunks_matches_full_batch(gt):
+    """hyper.grad_accum_chunks: sequential chunked accumulation must equal
+    the full-batch loss and gradient exactly (same reduction tree per chunk;
+    f64 here, so equality is tight)."""
+    from odinn_tpu.simulation.inversion import _make_grad_fn, assemble_tstops, train_ude
+
+    params, glaciers, tstops = gt
+    params = make_params(epochs=(2,), lr=(0.05,), batch_size=64)
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    tst = assemble_tstops(params, inv.glaciers)
+
+    from odinn_tpu.simulation.inversion import batch_transient_loss as btl
+    loss_fn_b = lambda th, b, ids: btl(th, b, model, params, tst, glacier_ids=ids)
+
+    vg_full = jax.jit(_make_grad_fn(inv, loss_fn_b))
+    params2 = params.replace(hyper=dataclasses.replace(params.hyper, grad_accum_chunks=2))
+    inv2 = Inversion(model=model, glaciers=inv.glaciers, parameters=params2,
+                     theta=inv.theta)
+    vg_chunk = jax.jit(_make_grad_fn(inv2, loss_fn_b))
+
+    v1, g1 = vg_full(inv.theta, inv.glaciers)
+    v2, g2 = vg_chunk(inv.theta, inv.glaciers)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)

@@ -6,6 +6,8 @@ Cuffey–Paterson law, train a NN law A = NN(T) through the PDE solve, assert
 the loss collapses and the recovered A matches the truth.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,17 +82,23 @@ def test_functional_inversion_converges(inversion_setup):
     assert max(rels) < 1e-3 and min(rels) < 1e-4, rels
 
 
-def test_functional_inversion_smoke(inversion_setup):
-    """Fast-lane convergence smoke (~1 min): a short Adam→LM ladder must gain
-    ≥100× on the 2-glacier setup. The full reference-gate run (1e-6 ratio,
-    machine-floor A) is the slow-lane test above — this catches pipeline
-    regressions at CI speed (the reference shards the same way via GROUP,
-    runtests.jl:19)."""
-    params, glaciers = inversion_setup
-    params = params.replace(
-        hyper=Hyperparameters(optimizer=("adam", "lm"), learning_rate=(0.05, 1e-2),
-                              epochs=(25, 6), gn_cg_iters=25)
-    )
+def test_functional_inversion_smoke():
+    """Fast-lane convergence smoke: a short Adam→LM ladder must gain ≥100×.
+    Dedicated tiny setup (1 glacier, 32², 6 monthly intervals) so the whole
+    Adam+LM pipeline runs at CI speed — the full reference-gate run (1e-6
+    ratio, machine-floor A) is the slow-lane test above (the reference
+    shards the same way via GROUP, runtests.jl:19)."""
+    tspan = (5.0, 5.5)
+    params = make_params(tspan, substeps=10,
+                         optimizer=("adam", "lm"), lr=(0.05, 1e-2),
+                         epochs=(20, 4))
+    params = params.replace(hyper=dataclasses.replace(
+        params.hyper, gn_cg_iters=8))
+    glaciers = [halfar_glacier(nx=32, ny=32, dx=150.0, temp=-17.0, rgi_id="smoke")]
+    truth_model = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
+    tstops = build_tstops(tspan, params.solver.step)
+    glaciers = generate_ground_truth(glaciers, params, truth_model, tstops,
+                                     store=("H",))
     nn = NeuralNetwork(default_architecture(1, light=True), seed=666)
     model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
     inv = Inversion(model=model, glaciers=glaciers, parameters=params)
@@ -209,6 +217,7 @@ def test_dummy_adjoint_pipeline(inversion_setup):
     assert all(np.isfinite(results.stats.losses))
 
 
+@pytest.mark.slow
 def test_classical_inversion_scalar_A(inversion_setup):
     """Per-glacier scalar A inversion (LawA classical variant,
     /root/reference/src/laws/Laws.jl:402-460)."""
