@@ -157,8 +157,16 @@ def initialize_glaciers(
     velocity_datacubes=None,
 ) -> List[Glacier]:
     """Load glaciers from preprocessed files (Sleipnir.initialize_glaciers
-    equivalent)."""
-    paths = get_rgi_paths(prepro_dir)
+    equivalent). Path resolution order mirrors the reference's
+    ``SimulationParameters.rgi_paths`` consumption
+    (/root/reference/docs/src/quick_start.jl:12-20): an explicit
+    ``prepro_dir`` wins, else ``params.simulation.rgi_paths`` (a dict from
+    ``get_rgi_paths`` or a directory), else $ODINN_TPU_PREPRO_DIR."""
+    rp = getattr(params.simulation, "rgi_paths", None)
+    if prepro_dir is None and rp is not None:
+        paths = dict(rp) if isinstance(rp, dict) else get_rgi_paths(str(rp))
+    else:
+        paths = get_rgi_paths(prepro_dir)
     k = params.simulation.grid_scaling_factor
     out = []
     for rid in rgi_ids:
