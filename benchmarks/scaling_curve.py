@@ -48,11 +48,13 @@ def main():
     for NG in (128, 256, 512):
         # the stored fwd trajectory (remat=False, ~15-25% faster) fits HBM
         # to 256 glaciers; at 512 the fwd+grad program exceeds 15.75 GiB by
-        # ~1.5 GiB. Chunked gradient accumulation (2 sequential chunks of
-        # 256) halves the live trajectory WITHOUT recomputation — measured
-        # vs per-interval remat at 512: see scaling_curve_result.json
+        # ~1.5 GiB. Chunked gradient accumulation bounds the live trajectory
+        # WITHOUT recomputation (measured 2.7x faster than per-interval remat
+        # at 512). "auto" = 64-glacier chunks, the measured sweet spot even
+        # when memory fits (256: accum 1/2/4 -> 1298/1838/1943 g/s; 512:
+        # accum 2/4/8 -> 1295/1856/1957; chunking schedules better).
         remat = False
-        accum = 2 if NG >= 512 else 1
+        accum = "auto"
         params = Parameters(
             physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
             simulation=SimulationParameters(tspan=(5.0, 7.0), use_MB=False,
@@ -81,7 +83,8 @@ def main():
         opt = optax.adam(0.1)
         state = opt.init(theta)
 
-        from odinn_tpu.simulation.inversion import Inversion, _make_grad_fn
+        from odinn_tpu.simulation.inversion import (Inversion, _make_grad_fn,
+                                                    resolve_accum_chunks)
 
         inv = Inversion(model=model, glaciers=glaciers, parameters=params,
                         theta=theta)
@@ -112,7 +115,8 @@ def main():
         row = {"n_glaciers": NG, "grid": NX, "ground_truth_s": round(t_gt, 2),
                "s_per_epoch": round(dt, 4),
                "glaciers_per_s": round(NG / dt, 1),
-               "hbm_gib": mem, "remat": remat, "accum_chunks": accum, "loss": float(val)}
+               "hbm_gib": mem, "remat": remat,
+               "accum_chunks": resolve_accum_chunks(accum, NG), "loss": float(val)}
         results.append(row)
         print(json.dumps(row), flush=True)
         del batch, glaciers, theta, state

@@ -314,6 +314,24 @@ def _stages(hyper) -> Sequence[Tuple[str, float, int]]:
     return list(zip(opts, lrs, eps))
 
 
+def resolve_accum_chunks(cfg, n: int) -> int:
+    """Resolve hyper.grad_accum_chunks for a batch of ``n`` glaciers.
+
+    ``"auto"`` picks the largest chunk count that keeps chunks at >= 64
+    glaciers (the measured single-chip sweet spot — chunking helps even when
+    the trajectory fits HBM: at 256 glaciers/128^2 accum 1/2/4 measured
+    1298/1838/1943 g/s on TPU v5e; see benchmarks/scaling_curve.py). Batches
+    under 128 stay unchunked unless 64 divides them exactly.
+    """
+    if cfg == "auto":
+        best = 1
+        for k in range(2, n // 64 + 1):
+            if n % k == 0 and n // k >= 64:
+                best = k
+        return best
+    return int(cfg or 1)
+
+
 def _make_grad_fn(inversion: Inversion, loss_fn_b):
     """Gradient path dispatch on params.UDE.grad (AdjointTypes equivalent).
 
@@ -325,8 +343,8 @@ def _make_grad_fn(inversion: Inversion, loss_fn_b):
     grad_cfg = inversion.parameters.UDE.grad
     name = grad_cfg if isinstance(grad_cfg, str) else getattr(grad_cfg, "name", "jax")
     if name in ("jax", "sciml"):
-        k = int(getattr(inversion.parameters.hyper, "grad_accum_chunks", 1) or 1)
-        if k <= 1:
+        k_cfg = getattr(inversion.parameters.hyper, "grad_accum_chunks", 1) or 1
+        if k_cfg != "auto" and int(k_cfg) <= 1:
             def vg(theta, b, ids=None):
                 return jax.value_and_grad(loss_fn_b)(theta, b, ids)
 
@@ -338,6 +356,9 @@ def _make_grad_fn(inversion: Inversion, loss_fn_b):
             # trajectory to one chunk's — exact full-batch loss/grad at 1/k
             # the memory (beats per-interval remat: nothing is recomputed)
             n = b.H0.shape[0]
+            k = resolve_accum_chunks(k_cfg, n)
+            if k <= 1:
+                return jax.value_and_grad(loss_fn_b)(theta, b, ids)
             if n % k != 0:
                 raise ValueError(
                     f"grad_accum_chunks={k} must divide the batch of {n} glaciers")

@@ -362,3 +362,31 @@ def test_grad_accum_chunks_matches_full_batch(gt):
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-12)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+    # grad_accum_chunks="auto" must also run and agree (resolves to
+    # unchunked here: the batch is under 128 glaciers)
+    params3 = params.replace(hyper=dataclasses.replace(params.hyper,
+                                                       grad_accum_chunks="auto"))
+    inv3 = Inversion(model=model, glaciers=inv.glaciers, parameters=params3,
+                     theta=inv.theta)
+    v3, g3 = jax.jit(_make_grad_fn(inv3, loss_fn_b))(inv.theta, inv.glaciers)
+    np.testing.assert_allclose(float(v1), float(v3), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
+
+
+def test_resolve_accum_chunks_auto_rule():
+    """"auto" targets 64-glacier chunks (the measured TPU sweet spot) and
+    never chunks batches that cannot hold >=64-glacier chunks."""
+    from odinn_tpu.simulation.inversion import resolve_accum_chunks
+
+    assert resolve_accum_chunks("auto", 128) == 2
+    assert resolve_accum_chunks("auto", 256) == 4
+    assert resolve_accum_chunks("auto", 512) == 8
+    assert resolve_accum_chunks("auto", 64) == 1
+    assert resolve_accum_chunks("auto", 96) == 1
+    assert resolve_accum_chunks("auto", 15) == 1
+    # n=192: k=3 gives exact 64-glacier chunks; k=2 (96) also valid — largest wins
+    assert resolve_accum_chunks("auto", 192) == 3
+    assert resolve_accum_chunks(4, 512) == 4
+    assert resolve_accum_chunks(None, 10) == 1
