@@ -100,6 +100,10 @@ def main():
                                     remat=False),
             hyper=Hyperparameters(optimizer=opts, learning_rate=lrs, epochs=eps,
                                   batch_size=NG,   # FULL batch: one epoch = 128 glaciers
+                                  # 64-glacier chunks (measured sweet spot; see
+                                  # docs/at_scale.md — production MB+HV Adam
+                                  # epoch 0.116->0.105 s, classical 0.070->0.068)
+                                  grad_accum_chunks="auto",
                                   gn_cg_iters=gn_cg_iters,
                                   gn_glacier_norm=gn_glacier_norm),
             UDE=UDEParameters(grad="jax", target="A",
