@@ -164,6 +164,35 @@ def test_train_ude_on_mesh_matches_single_device(problem):
     assert res_m.simulation["H"].shape[0] == 7
 
 
+def test_grad_accum_chunks_compose_with_mesh(problem):
+    """Chunked gradient accumulation composes with glacier-axis sharding —
+    the configuration a 512-glacier × 8-chip run uses (accum chunks bound
+    HBM per chip; the mesh scales out). GSPMD repartitions the (k, n/k)
+    chunk reshape; losses and θ must match the single-device chunked run."""
+    from odinn_tpu.api import enable_multiprocessing
+    from odinn_tpu.parallel.mesh import set_active_mesh
+    from odinn_tpu.simulation.inversion import Inversion, train_ude
+
+    params, model, batch, theta, tstops = problem
+    params = params.replace(hyper=Hyperparameters(optimizer="adam", learning_rate=1e-2,
+                                                  epochs=2, grad_accum_chunks=2))
+    inv_ref = Inversion(model=model, glaciers=batch, parameters=params,
+                        theta=jax.tree.map(jnp.copy, theta))
+    res_ref = train_ude(inv_ref)
+
+    mesh = enable_multiprocessing()
+    try:
+        inv_m = Inversion(model=model, glaciers=batch, parameters=params,
+                          theta=jax.tree.map(jnp.copy, theta))
+        res_m = train_ude(inv_m)
+    finally:
+        set_active_mesh(None)
+
+    np.testing.assert_allclose(res_m.stats.losses, res_ref.stats.losses, rtol=1e-9)
+    for a, b in zip(jax.tree.leaves(inv_m.theta), jax.tree.leaves(inv_ref.theta)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7)
+
+
 def test_shard_map_per_glacier_theta(problem):
     """Per-glacier θ (scalar A per glacier) stays sharded: local gradients,
     no collective — and matches the single-device gradient."""
