@@ -87,6 +87,9 @@ from odinn_tpu.laws.laws import (
     Law,
     LawA,
     LawA_inversion,
+    LawC,
+    LawC_inversion,
+    LawN_inversion,
     LawU,
     LawY,
     SyntheticC,

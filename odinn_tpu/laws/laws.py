@@ -42,6 +42,9 @@ __all__ = [
     "Law",
     "LawA",
     "LawA_inversion",
+    "LawC",
+    "LawC_inversion",
+    "LawN_inversion",
     "LawY",
     "LawU",
     "ConstantA",
@@ -182,6 +185,115 @@ def LawA_inversion(params, scalar: bool = True, grid_shape=None) -> Law:
         callback_freq=0.0,
         trainable=True,
         name="InvA" if scalar else "InvA_grid",
+        init_theta=init_theta,
+    )
+
+
+def LawC(
+    nn: nnmod.NeuralNetwork,
+    params,
+    prescale_bounds: Tuple[Tuple[float, float], ...] = ((0.0, 2000.0), (0.0, 0.05)),
+) -> Law:
+    """NN sliding law (CPDD, topo_rough) → C ∈ [minC, maxC].
+
+    Beyond-reference capability: the reference's ``Model`` exposes a C slot
+    (/root/reference/src/models/trainable_components/Model.jl:81-123) and a
+    *synthetic* sliding law (Huginn.SyntheticC) but ships no learnable C
+    constructor (Laws.jl has LawA/LawY/LawU only). This closes the slot with
+    the LawY design: per-pixel features batched into one (npix, 2) matmul
+    chain for the MXU, sigmoid head mapped linearly onto [minC, maxC], output
+    averaged onto the staggered (nx−1, ny−1) grid where the sliding term of
+    the diffusivity lives (physics.targets.ATarget.diffusivity).
+
+    Gradients flow through the generic exact-pullback machinery
+    (inverse.vjps.rhs_with_theta) on every adjoint path — no bespoke VJPs.
+    """
+    min_c, max_c = params.physical.min_C, params.physical.max_C
+    arch = nn.architecture
+
+    def apply_fn(theta, inputs):
+        rough = inputs["topo_rough"]
+        cpdd = jnp.broadcast_to(inputs["CPDD"], rough.shape)
+        feats = jnp.stack([cpdd, rough], axis=-1)
+        if prescale_bounds is not None:
+            feats = nnmod.prescale(feats, prescale_bounds)
+        out = nnmod.mlp_apply(arch, theta["C"], feats.reshape(-1, 2))[..., 0]
+        c = nnmod.scale(out.reshape(rough.shape), (min_c, max_c))
+        from odinn_tpu.ops.stencils import avg
+
+        return avg(c)
+
+    return Law(
+        slot="C",
+        apply_fn=apply_fn,
+        inputs=(law_inputs.CPDD(), law_inputs.TopoRough()),
+        callback_freq=0.0,
+        trainable=True,
+        name="NN_C",
+        init_theta=lambda glaciers, dtype=jnp.float64: nn.init(dtype),
+    )
+
+
+def LawC_inversion(params, scalar: bool = True, grid_shape=None) -> Law:
+    """Classical sliding inversion: one tanh-bounded C ∈ [minC, maxC] per
+    glacier (scalar or staggered grid) — the C-slot counterpart of
+    ``LawA_inversion`` (reference Laws.jl:402-460 pattern applied to the C
+    slot, which the reference leaves without a learnable constructor)."""
+    min_c, max_c = params.physical.min_C, params.physical.max_C
+
+    def apply_fn(theta, inputs):
+        raw = theta["C"][inputs["glacier_idx"]]
+        return min_c + (max_c - min_c) * (jnp.tanh(raw) + 1.0) / 2.0
+
+    def init_theta(glaciers, dtype=jnp.float64):
+        n_g = len(glaciers) if isinstance(glaciers, (list, tuple)) else glaciers.H0.shape[0]
+        if scalar:
+            return jnp.zeros((n_g,), dtype)
+        if grid_shape is not None:
+            nx, ny = grid_shape
+        elif isinstance(glaciers, (list, tuple)):
+            nx = max(g.nx for g in glaciers)
+            ny = max(g.ny for g in glaciers)
+        else:
+            nx, ny = glaciers.H0.shape[-2:]
+        return jnp.zeros((n_g, nx - 1, ny - 1), dtype)
+
+    return Law(
+        slot="C",
+        apply_fn=apply_fn,
+        inputs=(),
+        callback_freq=0.0,
+        trainable=True,
+        name="InvC" if scalar else "InvC_grid",
+        init_theta=init_theta,
+    )
+
+
+def LawN_inversion(params, bounds: Tuple[float, float] = (1.5, 4.2)) -> Law:
+    """Per-glacier Glen-exponent inversion: one tanh-bounded n per glacier.
+
+    Beyond-reference: the reference's n slot only takes constant laws. A
+    traced n disables the static-exponent strength reduction
+    (physics.targets._pow falls back to powf) — expected, and only on models
+    that opt in. The creep term A·Γ(n)·H̄^{n+2}|∇S|^{n−1} is smooth in n, so
+    exact pullbacks give the gradient on every adjoint path."""
+    lo, hi = bounds
+
+    def apply_fn(theta, inputs):
+        raw = theta["n"][inputs["glacier_idx"]]
+        return lo + (hi - lo) * (jnp.tanh(raw) + 1.0) / 2.0
+
+    def init_theta(glaciers, dtype=jnp.float64):
+        n_g = len(glaciers) if isinstance(glaciers, (list, tuple)) else glaciers.H0.shape[0]
+        return jnp.zeros((n_g,), dtype)
+
+    return Law(
+        slot="n",
+        apply_fn=apply_fn,
+        inputs=(),
+        callback_freq=0.0,
+        trainable=True,
+        name="InvN",
         init_theta=init_theta,
     )
 

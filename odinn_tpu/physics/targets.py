@@ -46,10 +46,19 @@ def _pow(x, e):
     """x^e with strength reduction: a static integer-valued exponent lowers to
     lax.integer_pow (multiplies on the VPU) instead of the generic powf
     (exp/log) — a ~2x win on the RHS hot path when Glen's n is a static 3.0
-    (see SIA2DModel.n_value)."""
-    if isinstance(e, (int, float)) and float(e).is_integer():
-        return jax.lax.integer_pow(x, int(e))
-    return x ** e
+    (see SIA2DModel.n_value).
+
+    A *traced* exponent (trainable Glen n, laws.LawN_inversion) additionally
+    guards the zero base: d(x^e)/de = x^e·log x is NaN at x = 0 (ice-free
+    cells where hbar/|∇S| vanish exactly — see ops.stencils.safe_norm), so
+    zero-base cells are pinned to 0 with a zero subgradient, matching the
+    safe_norm convention (their diffusivity contribution is 0 there)."""
+    if isinstance(e, (int, float)):
+        if float(e).is_integer():
+            return jax.lax.integer_pow(x, int(e))
+        return x ** e
+    pos = x > 0.0
+    return jnp.where(pos, x, 1.0) ** e * pos
 
 
 def gamma_no_A(n, rho, g):
