@@ -54,3 +54,19 @@ print("A(θ, T=-12C):", float(eval_law(model.iceflow.A, theta, glacier)))
 # Law scheduling: callback_freq=0 → evaluated once at solve start (LawA);
 # callback_freq=None → inner law, re-evaluated at every RHS call (LawY/LawU).
 print("LawA inner?", model.iceflow.A.is_inner, "| LawY inner?", model_y.iceflow.Y.is_inner)
+
+# --- beyond-reference: learnable C and n slots ---
+# The reference's Model exposes C/n slots but ships no learnable constructors
+# for them; odinn_tpu closes both (tests/test_trainable_cn.py).
+from odinn_tpu.laws.laws import LawC, LawC_inversion, LawN_inversion
+
+params_c = Parameters(physical=PhysicalParameters(min_C=0.0, max_C=1e-15))
+model_c = Model(iceflow=SIA2DModel(A=ConstantA(4e-18), C=LawC(nn2, params_c)))
+theta_c = init_theta(model_c, [glacier])
+c_nn = eval_law(model_c.iceflow.C, theta_c, glacier, state=glacier.H0, t=2011.0)
+print("NN sliding law C grid:", c_nn.shape, "| max:", float(c_nn.max()))
+
+model_ci = Model(iceflow=SIA2DModel(A=ConstantA(4e-18), C=LawC_inversion(params_c)))
+model_ni = Model(iceflow=SIA2DModel(A=ConstantA(4e-18), n=LawN_inversion(params_c)))
+print("per-glacier θ:", {k: v.shape for k, v in init_theta(model_ci, [glacier]).items()},
+      {k: v.shape for k, v in init_theta(model_ni, [glacier]).items()})
