@@ -23,3 +23,51 @@ import jax
 # site-customization hook; override both the env var and the live config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the CI lane is jit-compile-bound on a
+# single-core host (the runtime analogue of the Julia reference's reliance on
+# precompilation caches). First run populates ~repo/.jax_cache; warm reruns
+# cut the lane roughly in half. Override the location with
+# JAX_COMPILATION_CACHE_DIR; disable with ODINN_NO_COMPILE_CACHE=1.
+# silence XLA:CPU's cosmetic AOT-loader machine-feature warnings on cache
+# hits (prefer-no-scatter/gather are compiler preferences recorded by the
+# cache entry, not host ISA features — same-host reloads are safe)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+if not os.environ.get("ODINN_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# GROUP-style CI sharding: the reference splits its suite into Core1..Core11
+# shards via the GROUP env var (/root/reference/test/runtests.jl:19) so each
+# CI job stays short. ODINN_TEST_GROUP=1|2 selects a time-balanced shard of
+# the default (-m "not slow") lane — ~8 min warm-cache each on a single-core
+# host; unset runs the whole suite. The split is a static module table
+# balanced from measured per-module durations; new modules default to
+# group 2.
+_GROUP1_MODULES = {
+    "test_sharding.py", "test_inversion.py", "test_gradients.py",
+    "test_solver.py", "test_vjps.py", "test_implicit.py", "test_aux.py",
+    "test_netcdf.py", "test_entry.py", "test_d_targets.py",
+    "test_golden.py", "test_losses.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    group = os.environ.get("ODINN_TEST_GROUP")
+    if group not in ("1", "2"):
+        return
+    selected, deselected = [], []
+    for it in items:
+        fname = os.path.basename(str(it.fspath))
+        g = "1" if fname in _GROUP1_MODULES else "2"
+        (selected if g == group else deselected).append(it)
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = selected

@@ -158,6 +158,8 @@ def _residual_parity(loss_cfg, with_velocity=False, with_dhdt=False):
     return loss_ref
 
 
+@pytest.mark.slow   # matrix-tier residual parity (HV/log/dhdt/Tikhonov); the
+# default lane keeps the core LM convergence + LossH residual tests
 def test_residual_parity_hv_log_dhdt_tikhonov():
     """The LM trainer covers every least-squares loss shape: LossHV (xy
     velocities + scale_loss), LogSum thickness, time-aggregated LossDhdt,

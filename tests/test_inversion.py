@@ -89,12 +89,12 @@ def test_functional_inversion_smoke():
     ratio, machine-floor A) is the slow-lane test above (the reference
     shards the same way via GROUP, runtests.jl:19)."""
     tspan = (5.0, 5.5)
-    params = make_params(tspan, substeps=10,
-                         optimizer=("adam", "lm"), lr=(0.05, 1e-2),
-                         epochs=(20, 4))
+    params = make_params(tspan, substeps=8,
+                         optimizer=("adam", "lm"), lr=(0.08, 1e-2),
+                         epochs=(12, 3))
     params = params.replace(hyper=dataclasses.replace(
-        params.hyper, gn_cg_iters=8))
-    glaciers = [halfar_glacier(nx=32, ny=32, dx=150.0, temp=-17.0, rgi_id="smoke")]
+        params.hyper, gn_cg_iters=6))
+    glaciers = [halfar_glacier(nx=24, ny=24, dx=200.0, temp=-17.0, rgi_id="smoke")]
     truth_model = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
     tstops = build_tstops(tspan, params.solver.step)
     glaciers = generate_ground_truth(glaciers, params, truth_model, tstops,

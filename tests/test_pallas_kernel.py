@@ -7,6 +7,7 @@ roundoff and custom_vjp gradients vs finite differences.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from odinn_tpu.core.params import PhysicalParameters
 from odinn_tpu.data.synthetic import halfar_glacier
@@ -44,6 +45,9 @@ def test_pallas_matches_xla_forward():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
 
 
+@pytest.mark.slow   # pallas interpret-mode on CPU is minutes-scale; the forward
+# parity test stays in the default lane, and the kernels run compiled on real
+# TPU in benchmarks/pallas_roofline.py
 def test_pallas_custom_vjp_gradients():
     H, B, scal, _ = batch()
 

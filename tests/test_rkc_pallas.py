@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from odinn_tpu.core.params import PhysicalParameters
 from odinn_tpu.data.synthetic import halfar_glacier
@@ -46,6 +47,9 @@ def test_fused_interval_matches_reference_and_solver():
     np.testing.assert_allclose(np.asarray(out_p[0]), np.asarray(tr[-1]), atol=1e-9)
 
 
+@pytest.mark.slow   # pallas interpret-mode on CPU is minutes-scale; the forward
+# parity test stays in the default lane, and the kernels run compiled on real
+# TPU in benchmarks/pallas_roofline.py
 def test_fused_interval_custom_vjp():
     H, B, scal, _ = batch()
     dt, s = 1.0 / 12.0, 13

@@ -164,6 +164,8 @@ def test_train_ude_on_mesh_matches_single_device(problem):
     assert res_m.simulation["H"].shape[0] == 7
 
 
+@pytest.mark.slow   # composition edge: chunked accumulation x mesh; chunking
+# alone (test_features) and mesh alone (above) stay in the default lane
 def test_grad_accum_chunks_compose_with_mesh(problem):
     """Chunked gradient accumulation composes with glacier-axis sharding —
     the configuration a 512-glacier × 8-chip run uses (accum chunks bound

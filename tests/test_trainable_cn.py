@@ -205,6 +205,61 @@ def test_glen_n_inversion_recovers_truth(gt_glen):
     assert rel.max() < 0.02, f"n recovery rel err {rel}"
 
 
+@pytest.mark.slow
+def test_nn_c_ude_recovers_synthetic_sliding():
+    """UDE on the sliding slot: train C = NN(CPDD, topo roughness) against H
+    observations generated with the SyntheticC law (A known) — the C-slot
+    counterpart of the reference's A-law functional inversion, which the
+    reference cannot express (no learnable C constructor)."""
+    from odinn_tpu.laws.laws import SyntheticC
+
+    glaciers = []
+    for i in range(2):
+        clim = monthly_dummy_climate(4.0, 30, temp_mean=2.0, nx=24, ny=24,
+                                     longterm_temp=-15.0)
+        g = halfar_glacier(nx=24, ny=24, dx=100.0, temp=-15.0, A=A_TRUE,
+                           rgi_id=f"cu{i}", climate=clim)
+        # bed bumps (~500 m wavelength, 5·dx — resolvable) with a west→east
+        # amplitude ramp: roughness (bed-Laplacian std) sweeps ~0→0.03, so
+        # SyntheticC's exp(−rough/1e-2) factor spans ~1→0.05 across the
+        # domain — real structure for the NN to learn (uniform bumps leave C
+        # within 15% of max_C everywhere)
+        ramp = (g.coords_x - g.coords_x[0]) / (g.coords_x[-1] - g.coords_x[0])
+        bumps = (120.0 * ramp)[:, None] * jnp.sin(g.coords_x / 80.0)[:, None] * jnp.cos(
+            g.coords_y / (70.0 + 20.0 * i))[None, :]
+        glaciers.append(g.replace(B=g.B + 1500.0 + bumps))
+
+    # sliding at C ~ max_C violates the explicit CFL bound → semi-implicit
+    params = make_params(optimizer=("adam", "adam", "adam"), epochs=(40, 40, 40),
+                         lr=(0.1, 0.03, 0.01), solver="SI", substeps=1)
+    tstops = build_tstops(TSPAN, params.solver.step)
+    c_truth = SyntheticC(params, c_max=MAX_C)
+    truth = Model(iceflow=SIA2DModel(A=ConstantA(A_TRUE), C=c_truth))
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+
+    nn = NeuralNetwork(default_architecture(2, light=True), seed=11)
+    model = Model(iceflow=SIA2DModel(A=ConstantA(A_TRUE), C=LawC(nn, params)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    results = run_inversion(inv)
+    losses = results.stats.losses
+    assert np.isfinite(losses).all()
+    assert results.stats.final_loss < 0.25 * losses[0], (
+        f"sliding UDE did not train: {losses[0]} -> {results.stats.final_loss}"
+    )
+    # the learned law must track the synthetic truth pointwise on glacier 0
+    from odinn_tpu.laws.laws import eval_law
+
+    c_t = np.asarray(eval_law(c_truth, None, glaciers[0], state=glaciers[0].H0,
+                              t=float(tstops[0])))
+    c_l = np.asarray(eval_law(model.iceflow.C, results.stats.theta, glaciers[0],
+                              state=glaciers[0].H0, t=float(tstops[0])))
+    mask = np.asarray(jnp.where(
+        jnp.minimum(glaciers[0].H0[:-1, :-1], glaciers[0].H0[1:, 1:]) > 50.0, 1.0, 0.0
+    )) > 0
+    corr = np.corrcoef(c_t[mask], c_l[mask])[0, 1]
+    assert corr > 0.6, f"learned C uncorrelated with SyntheticC truth: r={corr:.3f}"
+
+
 def test_nn_c_law_wiring():
     """LawC (NN sliding law): staggered-grid output in [minC, maxC], gradient
     flows into θ['C'] through the RHS exact pullback."""
