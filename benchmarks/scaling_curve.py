@@ -44,8 +44,12 @@ def main():
 
     NX = 128
     EPOCHS = 12
+    # ODINN_SCALE_NG="1024" runs extra points; rows merge into the existing
+    # JSON (sorted by n_glaciers) so prior points survive.
+    ng_list = tuple(int(x) for x in
+                    os.environ.get("ODINN_SCALE_NG", "128,256,512").split(","))
     results = []
-    for NG in (128, 256, 512):
+    for NG in ng_list:
         # the stored fwd trajectory (remat=False, ~15-25% faster) fits HBM
         # to 256 glaciers; at 512 the fwd+grad program exceeds 15.75 GiB by
         # ~1.5 GiB. Chunked gradient accumulation bounds the live trajectory
@@ -121,10 +125,18 @@ def main():
         print(json.dumps(row), flush=True)
         del batch, glaciers, theta, state
 
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scaling_curve_result.json")
+    prev = []
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f).get("curve", [])
+    merged = {r["n_glaciers"]: r for r in prev}
+    merged.update({r["n_glaciers"]: r for r in results})
     out = {"device": str(jax.devices()[0]), "dtype": "float32",
-           "solver": "SI", "curve": results}
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "scaling_curve_result.json"), "w") as f:
+           "solver": "SI",
+           "curve": [merged[k] for k in sorted(merged)]}
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
 
 

@@ -105,9 +105,17 @@ class Model:
                 tgt = targets_mod.CappedTarget(tgt, float(self.iceflow.max_D))
             object.__setattr__(self, "target", tgt)
         # slot/input validation (Model.jl:81-123): inner laws may only consume
-        # catalogue inputs; U law must not coexist with Y law.
+        # catalogue inputs; U law must not coexist with Y law; a law must sit
+        # in the slot it was built for (C=LawA(...) would silently feed creep
+        # values into the sliding term otherwise).
         if self.iceflow.U is not None and self.iceflow.Y is not None:
             raise ValueError("U and Y laws are mutually exclusive (pure-D vs hybrid-D target)")
+        for slot, law in self.iceflow.laws.items():
+            if law.slot != slot:
+                raise ValueError(
+                    f"law {law.name!r} was built for slot {law.slot!r} but is "
+                    f"assigned to SIA2DModel slot {slot!r}"
+                )
 
     @property
     def trainable_laws(self):

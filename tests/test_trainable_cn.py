@@ -205,6 +205,22 @@ def test_glen_n_inversion_recovers_truth(gt_glen):
     assert rel.max() < 0.02, f"n recovery rel err {rel}"
 
 
+def test_model_rejects_law_in_wrong_slot():
+    """Assigning a law to a slot it was not built for raises (Model.jl:81-123
+    slot validation): C=LawA(...) would silently feed creep values into the
+    sliding term otherwise."""
+    params = make_params()
+    with pytest.raises(ValueError, match="slot"):
+        Model(iceflow=SIA2DModel(C=LawC_inversion(params).__class__(
+            slot="A",
+            apply_fn=lambda th, inp: 0.0,
+            inputs=(),
+            callback_freq=0.0,
+            trainable=False,
+            name="misplaced",
+        )))
+
+
 @pytest.mark.slow
 def test_nn_c_ude_recovers_synthetic_sliding():
     """UDE on the sliding slot: train C = NN(CPDD, topo roughness) against H
