@@ -190,13 +190,20 @@ from odinn_tpu.parallel.mesh import make_mesh, pad_batch_to, replicate, shard_gl
 from odinn_tpu.simulation.region_inversion import region_split_inversion
 
 
-def enable_multiprocessing(params=None, workers: Optional[int] = None):
+def enable_multiprocessing(params=None, workers: Optional[int] = None,
+                           rows: int = 1):
     """The reference's Distributed.jl bootstrap
     (/root/reference/src/setup/config.jl:97-139), TPU-native: scale-out is
     mesh sharding, not worker processes. Builds the device mesh AND registers
     it as the session's active mesh, so subsequent ``run``/``train_ude`` calls
     shard the glacier axis over it automatically — matching the reference's
-    "enable once, every run! scales" semantics. Returns the mesh."""
+    "enable once, every run! scales" semantics. Returns the mesh.
+
+    ``rows > 1`` builds a 2-D ``(glaciers, rows)`` mesh instead: ``rows``
+    devices cooperate on each glacier's grid (spatial row sharding for
+    ice-sheet-scale domains, `parallel.spatial`), the rest scale out over
+    glaciers — a composition the reference's per-glacier worker processes
+    cannot express."""
     import warnings
 
     import jax as _jax
@@ -205,6 +212,10 @@ def enable_multiprocessing(params=None, workers: Optional[int] = None):
 
     n = workers or (params.simulation.workers if params is not None else None)
     n_dev = len(_jax.devices())
+    if rows > 1:
+        from odinn_tpu.parallel.spatial import make_mesh_2d
+
+        return set_active_mesh(make_mesh_2d(n_glaciers=n, n_rows=rows))
     if n is not None and n > n_dev:
         warnings.warn(
             f"requested {n} workers but only {n_dev} devices are visible; "

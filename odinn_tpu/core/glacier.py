@@ -205,6 +205,9 @@ class Glacier:
     thickness_data: Optional[ThicknessData] = None
     velocity_data: Optional[SurfaceVelocityData] = None
     dhdt_data: Optional[DhdtData] = None
+    npix: Optional[jnp.ndarray] = None  # () original (pre-padding) nx·ny for
+    # loss normalization — set by stack_glaciers so zero-dynamics padding
+    # (mixed-grid or spatial row padding) never rescales a glacier's loss
     rgi_id: str = _static(default="synthetic")
 
     @property
@@ -294,11 +297,30 @@ def stack_glaciers(glaciers: Sequence[Glacier]) -> Glacier:
     nx = max(g.nx for g in glaciers)
     ny = max(g.ny for g in glaciers)
     rgi_ids = tuple(g.rgi_id for g in glaciers)
-    padded = [pad_glacier(g, nx, ny).replace(rgi_id=rgi_ids) for g in glaciers]
+    padded = [
+        pad_glacier(g, nx, ny).replace(
+            rgi_id=rgi_ids,
+            # loss normalization stays the ORIGINAL pixel count: padding to a
+            # common grid must not rescale a glacier's loss contribution
+            npix=(g.npix if g.npix is not None
+                  else jnp.asarray(float(g.nx * g.ny))),
+        )
+        for g in glaciers
+    ]
     for g in padded:
         if g.mask is None:
             raise ValueError("glacier missing mask")
     return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+
+
+def loss_normalization(glacier: Glacier) -> jnp.ndarray:
+    """Per-glacier loss normalization (the reference's ``prod(size(H))``,
+    Losses.jl:29-151): the ORIGINAL pre-padding pixel count when the glacier
+    was padded (mixed-grid stacking, spatial row sharding), else nx·ny of the
+    grid — so zero-dynamics padding is exactly loss-neutral."""
+    if glacier.npix is not None:
+        return jnp.asarray(glacier.npix, dtype=jnp.result_type(float))
+    return jnp.asarray(float(glacier.H0.shape[-2] * glacier.H0.shape[-1]))
 
 
 def is_in_glacier(H: jnp.ndarray, distance: int) -> jnp.ndarray:

@@ -35,6 +35,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+from odinn_tpu.core.glacier import loss_normalization
 import numpy as np
 
 from odinn_tpu.inverse.adjoint_types import (
@@ -79,7 +80,7 @@ def _aggregate_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
                  if term_kind(t_) == "aggregate"]
     if not aggregate:
         return None
-    npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
+    norm = loss_normalization(glacier)
 
     def agg_loss(traj, th):
         outer = resolve_outer_values(model, th, glacier, glacier_idx, tstops[0])
@@ -91,7 +92,7 @@ def _aggregate_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
 
         ctx = LossContext(
             velocity_fn=velocity_fn,
-            normalization=jnp.asarray(float(npix)),
+            normalization=norm,
             theta=th, glacier_idx=glacier_idx, glacier=glacier,
             dx=glacier.dx, dy=glacier.dy,
         )
@@ -114,7 +115,7 @@ def _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
     transient = [(w, t_) for w, t_ in zip(loss_cfg.weights, loss_cfg.terms) if term_kind(t_) == "transient"]
     td = glacier.thickness_data
     vd = glacier.velocity_data
-    npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
+    norm = loss_normalization(glacier)
     dts = jnp.diff(tstops)
 
     from odinn_tpu.losses.losses import LossH as _LH, LossV as _LV
@@ -138,7 +139,7 @@ def _per_tstop_loss_fn(theta, glacier, glacier_idx, model, params, tstops):
             Vx_ref=vx_ref,
             Vy_ref=vy_ref,
             velocity_fn=velocity_fn,
-            normalization=jnp.asarray(float(npix)),
+            normalization=norm,
             theta=th,
             glacier_idx=glacier_idx,
             glacier=glacier,
@@ -631,7 +632,7 @@ def glacier_adjoint_value_and_grad(
         if term_kind(t_) == "initial"
     ]
     if initial_terms:
-        npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
+        norm = loss_normalization(glacier)
 
         def initial_loss(th):
             if model.initial_condition is not None and "IC" in th:
@@ -639,7 +640,7 @@ def glacier_adjoint_value_and_grad(
             else:
                 h_init = glacier.H0
             ctx0 = LossContext(
-                normalization=jnp.asarray(float(npix)), theta=th,
+                normalization=norm, theta=th,
                 glacier_idx=glacier_idx, glacier=glacier,
                 dx=glacier.dx, dy=glacier.dy,
             )

@@ -249,7 +249,15 @@ def shard_inversion(theta, batch, mesh: Mesh, axis_name: str = GLACIER_AXIS):
     observations, so they contribute exactly zero loss/gradient), shards the
     batch along the glacier axis, and shards per-glacier θ entries while
     replicating shared θ. Returns ``(theta, batch, n_original)``.
+
+    A 2-D mesh with a ``"rows"`` axis dispatches to the spatial path
+    (`parallel.spatial.shard_inversion_spatial`): grids are additionally
+    sharded along their row axis for ice-sheet-scale domains.
     """
+    if "rows" in mesh.axis_names:
+        from odinn_tpu.parallel.spatial import shard_inversion_spatial
+
+        return shard_inversion_spatial(theta, batch, mesh)
     batch, n_orig = pad_batch_to(batch, mesh.shape[axis_name])
     batch = shard_glacier_axis(batch, mesh, axis_name)
     theta = shard_theta(theta, mesh, axis_name=axis_name)

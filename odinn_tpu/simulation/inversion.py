@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from odinn_tpu.core.glacier import Glacier, stack_glaciers
+from odinn_tpu.core.glacier import Glacier, loss_normalization, stack_glaciers
 from odinn_tpu.losses.losses import LossContext, LossH, MultiLoss, loss_uses_velocity, term_kind
 from odinn_tpu.models.model import Model, init_theta, make_values_fn, resolve_outer_values
 from odinn_tpu.physics.sia2d import v_from_h
@@ -86,7 +86,7 @@ class _LossEnv:
         self.loss_cfg = loss_cfg
         self.tstops = tstops
         self.dts = jnp.diff(tstops)
-        self.npix = glacier.H0.shape[-2] * glacier.H0.shape[-1]
+        self.normalization = loss_normalization(glacier)
         self.glacier = glacier
         self.theta = theta
         self.glacier_idx = glacier_idx
@@ -111,7 +111,7 @@ class _LossEnv:
         return LossContext(
             H_ref=H_ref, V_ref=V_ref, Vx_ref=Vx_ref, Vy_ref=Vy_ref,
             velocity_fn=self.velocity_fn,
-            normalization=jnp.asarray(float(self.npix)),
+            normalization=self.normalization,
             theta=self.theta,
             glacier_idx=self.glacier_idx,
             glacier=g,
@@ -557,10 +557,12 @@ def train_ude(
         # defaults to 15, matching the reference's DataLoader default)
         print(f"[odinn_tpu] minibatching {bsize}/{n_glaciers} glaciers per step "
               f"(set hyper.batch_size >= {n_glaciers} for full-batch)")
-    if minibatching and use_mesh and bsize % mesh.size != 0:
+    # on a 2-D (dp×sp) mesh only the glacier axis constrains the minibatch
+    n_gshards = mesh.shape.get("glaciers", mesh.size) if use_mesh else 1
+    if minibatching and use_mesh and bsize % n_gshards != 0:
         raise ValueError(
-            f"hyper.batch_size={bsize} must be a multiple of the mesh size "
-            f"{mesh.size} when training on a mesh (glacier-axis sharding)"
+            f"hyper.batch_size={bsize} must be a multiple of the mesh's "
+            f"glacier-axis size {n_gshards} (glacier-axis sharding)"
         )
     rng = np.random.default_rng(0)
 
@@ -730,7 +732,9 @@ def train_ude(
     from odinn_tpu.simulation.results import create_results
 
     trajs = jax.jit(lambda th, b: forward_batch(th, b, model, params, tstops))(theta, batch)
-    trajs = trajs[:n_results]
+    # glacier-axis padding AND (2-D mesh) grid-row padding both slice off —
+    # padded rows carry zero dynamics, so the interior equals the unpadded run
+    trajs = trajs[:n_results, ..., : orig_batch.H0.shape[-2], : orig_batch.H0.shape[-1]]
     inversion.results = Results(
         simulation=create_results(trajs, tstops, glaciers=orig_batch), stats=stats
     )

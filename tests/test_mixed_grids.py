@@ -130,3 +130,32 @@ def test_mixed_size_batch_adjoint_parity_and_inversion():
         np.tanh(np.asarray(inv.theta["A"], np.float64)) + 1) / 2
     rels = np.abs(a_rec - a_true) / a_true
     assert rels.max() < 0.05, f"A recovery on mixed-size batch: {rels}"
+
+
+def test_loss_invariant_under_batch_padding():
+    """A glacier's loss contribution must not depend on which batch it is
+    stacked in: `Glacier.npix` pins the normalization to the PRE-padding
+    pixel count (the reference normalizes by each glacier's own prod(size),
+    Losses.jl:29-151 — its per-glacier processes never pad). Before this
+    field, stacking a 22×26 glacier next to a 32×32 one silently rescaled
+    its loss by (32·32)/(22·26)."""
+    params = _params()
+    tstops = build_tstops(TSPAN, params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=ConstantA(A_TRUE)))
+    small = halfar_glacier(nx=22, ny=26, dx=130.0, dy=130.0, r0=600.0,
+                           h0=450.0, temp=-20.0, A=A_TRUE, rgi_id="small")
+    big = halfar_glacier(nx=32, ny=32, dx=130.0, dy=130.0, temp=-15.0,
+                         A=A_TRUE, rgi_id="big")
+    (small,) = generate_ground_truth([small], params, truth, tstops, store=("H",))
+    (big,) = generate_ground_truth([big], params, truth, tstops, store=("H",))
+
+    model = Model(iceflow=SIA2DModel(A=ConstantA(2.0e-18)))
+    alone = float(batch_transient_loss(
+        None, stack_glaciers([small]), model, params, tstops))
+    mixed = batch_transient_loss(
+        None, stack_glaciers([small, big]), model, params, tstops)
+    big_alone = float(batch_transient_loss(
+        None, stack_glaciers([big]), model, params, tstops))
+    # batch loss is the sum of per-glacier losses, each with its own
+    # original-grid normalization
+    np.testing.assert_allclose(float(mixed), alone + big_alone, rtol=1e-12)
