@@ -187,7 +187,15 @@ indFromT = ind_from_t
 
 # parallel -----------------------------------------------------------------------
 from odinn_tpu.parallel.mesh import make_mesh, pad_batch_to, replicate, shard_glacier_axis
+from odinn_tpu.parallel.spatial import make_mesh_2d
 from odinn_tpu.simulation.region_inversion import region_split_inversion
+
+# uncertainty quantification (beyond-parity) --------------------------------------
+from odinn_tpu.inverse.uncertainty import (
+    LaplacePosterior,
+    laplace_posterior,
+    laplace_uncertainty,
+)
 
 
 def enable_multiprocessing(params=None, workers: Optional[int] = None,

@@ -72,12 +72,17 @@ def plot_gridded_data(data, title: str = "", cmap: str = "viridis", mask=None):
 
 
 def plot_law(law, theta, glacier, input_ranges: dict, truth_fn=None, n: int = 100,
-             glacier_idx: int = 0, t: float = 0.0, surface: bool = False):
+             glacier_idx: int = 0, t: float = 0.0, surface: bool = False,
+             posterior=None):
     """Evaluate a law over 1 or 2 swept inputs (plot_law equivalent,
     /root/reference/src/laws/laws_plots.jl): line plot for one input,
     heatmap for two (or a 3-D surface with ``surface=True``, matching the
     reference's PlotlyJS surface view — truth overlaid as a wireframe);
-    optional ground-truth overlay."""
+    optional ground-truth overlay.
+
+    ``posterior``: an `inverse.uncertainty.LaplacePosterior` — 1-input plots
+    then shade the ±2σ pointwise confidence band of the law (beyond-parity;
+    the reference plots point estimates only)."""
     import jax.numpy as jnp
 
     names = list(input_ranges.keys())
@@ -96,6 +101,19 @@ def plot_law(law, theta, glacier, input_ranges: dict, truth_fn=None, n: int = 10
             ys.append(float(np.ravel(np.asarray(law.apply(theta, inp)))[0]))
         fig, ax = plt.subplots(figsize=(5.5, 4))
         ax.plot(xs, ys, label=f"law {law.name}")
+        if posterior is not None:
+            def band_fn(th):
+                def one(x):
+                    inp = {k: v for k, v in base_inputs.items()}
+                    inp[name] = x
+                    return jnp.ravel(jnp.asarray(law.apply(th, inp)))[0]
+                return jnp.stack([one(jnp.asarray(x)) for x in xs])
+
+            vals, stds = posterior.band(band_fn)
+            vals = np.asarray(vals)
+            stds = np.asarray(stds)
+            ax.fill_between(xs, vals - 2 * stds, vals + 2 * stds, alpha=0.25,
+                            label="±2σ (Laplace)")
         if truth_fn is not None:
             ax.plot(xs, [float(truth_fn(x)) for x in xs], "--", label="truth")
         ax.set_xlabel(name)

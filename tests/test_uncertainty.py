@@ -1,0 +1,198 @@
+"""Laplace-approximation UQ (`inverse.uncertainty`) — beyond-parity feature
+(the reference's Results carry point estimates only).
+
+Pins, smallest problems that exercise the real PDE pipeline:
+
+1. the dense GGN path equals a finite-difference-built Jacobian's
+   JᵀJ/σ² + jitter covariance (the GN-HVP chain through the vmapped solve
+   is the thing under test);
+2. the matrix-free CG path equals the dense path;
+3. a law confidence band evaluates finitely with per-point stds;
+4. (slow) Monte-Carlo calibration: the predicted std of an inverted A
+   matches the empirical scatter under repeated observation-noise draws.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odinn_tpu.core.glacier import stack_glaciers
+from odinn_tpu.core.params import (
+    Hyperparameters,
+    Parameters,
+    PhysicalParameters,
+    SimulationParameters,
+    SolverParameters,
+    UDEParameters,
+)
+from odinn_tpu.data.synthetic import halfar_glacier
+from odinn_tpu.inverse.gauss_newton import make_residual_fn
+from odinn_tpu.inverse.uncertainty import laplace_posterior
+from odinn_tpu.laws.laws import CuffeyPaterson, LawA, LawA_inversion, eval_law
+from odinn_tpu.models.model import Model, SIA2DModel, init_theta
+from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+from odinn_tpu.simulation.prediction import generate_ground_truth
+from odinn_tpu.simulation.solver import build_tstops
+
+A_TRUE = np.array([6.5e-18, 3.0e-18])
+TSPAN = (5.0, 5.25)
+
+
+def _params(**hyper):
+    return Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=TSPAN, use_MB=False),
+        solver=SolverParameters(step=1.0 / 12.0, substeps=8),
+        hyper=Hyperparameters(**hyper) if hyper else Hyperparameters(),
+        UDE=UDEParameters(grad="jax"),
+    )
+
+
+@pytest.fixture(scope="module")
+def classical():
+    """2-glacier scalar-A inversion problem at truth θ (the posterior is
+    defined at any θ — no training needed for the parity rows)."""
+    params = _params()
+    tstops = build_tstops(TSPAN, params.solver.step)
+    glaciers = [
+        halfar_glacier(nx=20, ny=20, dx=150.0, temp=-20.0, A=float(A_TRUE[0]),
+                       rgi_id="u0"),
+        halfar_glacier(nx=20, ny=20, dx=150.0, r0=600.0, h0=450.0, temp=-15.0,
+                       A=float(A_TRUE[1]), rgi_id="u1"),
+    ]
+    truth = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    phys = params.physical
+    th_truth = {"A": jnp.asarray(np.arctanh(
+        2 * (A_TRUE - phys.min_A) / (phys.max_A - phys.min_A) - 1))}
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops,
+                                     store=("H",), theta=th_truth)
+    batch = stack_glaciers(glaciers)
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    resid = make_residual_fn(model, params, tstops)
+    # evaluate the posterior slightly off truth so residuals are non-trivial
+    theta = {"A": th_truth["A"] + 0.05}
+    return params, model, batch, theta, tstops, resid
+
+
+def test_dense_ggn_matches_fd_jacobian(classical):
+    params, model, batch, theta, tstops, resid = classical
+    post = laplace_posterior(theta, batch, resid, sigma2=1.0)
+
+    # finite-difference Jacobian (p = 2 columns)
+    h = 1e-6
+    cols = []
+    for i in range(2):
+        e = jnp.zeros(2).at[i].set(h)
+        rp = resid({"A": theta["A"] + e}, batch)
+        rm = resid({"A": theta["A"] - e}, batch)
+        cols.append(np.asarray((rp - rm) / (2 * h)).ravel())
+    J = np.stack(cols, axis=1)                    # (N, 2)
+    H = J.T @ J                                    # σ² = 1
+    H = H + 1e-8 * np.mean(np.diag(H)) * np.eye(2)  # the jitter floor
+    cov_fd = np.linalg.inv(H)
+
+    # elementwise θ std
+    th_std = post.theta_std()
+    np.testing.assert_allclose(np.asarray(th_std["A"]),
+                               np.sqrt(np.diag(cov_fd)), rtol=1e-4)
+
+    # delta-method std of the PHYSICAL quantity A₀ (through the tanh bound)
+    g0 = jax.tree.map(lambda x: x[0], batch)
+    law = model.iceflow.A
+    q, s = post.std(lambda th: eval_law(law, th, g0, glacier_idx=0))
+    grad = jax.grad(
+        lambda th: eval_law(law, th, g0, glacier_idx=0).sum())(theta)
+    g = np.asarray(grad["A"])
+    np.testing.assert_allclose(float(s), np.sqrt(g @ cov_fd @ g), rtol=1e-4)
+    assert float(q) > 0
+
+
+def test_matrix_free_matches_dense(classical):
+    params, model, batch, theta, tstops, resid = classical
+    kw = dict(sigma2=1.0, prior_std=10.0)
+    dense = laplace_posterior(theta, batch, resid, **kw)
+    mf = laplace_posterior(theta, batch, resid, dense_threshold=0,
+                           cg_iters=25, **kw)
+    qd, sd = dense.std(lambda th: th["A"][0])
+    qm, sm = mf.std(lambda th: th["A"][0])
+    np.testing.assert_allclose(float(sm), float(sd), rtol=1e-6)
+    sd_all = dense.theta_std()
+    sm_all = mf.theta_std()
+    np.testing.assert_allclose(np.asarray(sm_all["A"]),
+                               np.asarray(sd_all["A"]), rtol=1e-6)
+
+
+def test_nn_law_band(classical):
+    """Confidence band of an (untrained) NN creep law over temperature:
+    dense-path band is finite, positive, and its point values equal the
+    law's own evaluation."""
+    params, _, batch, _, tstops, _ = classical
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=3)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    theta = init_theta(model, batch)
+    resid = make_residual_fn(model, params, tstops)
+    post = laplace_posterior(theta, batch, resid, prior_std=1.0)
+
+    law = model.iceflow.A
+    temps = jnp.linspace(-25.0, -10.0, 7)
+
+    def band_fn(th):
+        return jax.vmap(
+            lambda T: law.apply(th, {"T": T, "glacier_idx": jnp.asarray(0)})
+        )(temps)
+
+    vals, stds = post.band(band_fn)
+    assert vals.shape == stds.shape == (7,)
+    assert np.isfinite(np.asarray(vals)).all()
+    assert np.isfinite(np.asarray(stds)).all() and (np.asarray(stds) > 0).all()
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(band_fn(theta)))
+    # scalar query agrees with the band at the same point
+    q0, s0 = post.std(
+        lambda th: law.apply(th, {"T": temps[0], "glacier_idx": jnp.asarray(0)}))
+    np.testing.assert_allclose(float(s0), float(stds[0]), rtol=1e-8)
+
+
+@pytest.mark.slow
+def test_monte_carlo_calibration(classical):
+    """The Laplace std of an inverted per-glacier A matches the empirical
+    scatter of repeated noisy inversions (the statistic it claims to be).
+    K=8 noise draws, LM refits from truth-adjacent init."""
+    import dataclasses
+
+    from odinn_tpu.inverse.gauss_newton import lm_train
+
+    params, model, batch, theta0, tstops, resid = classical
+    law = model.iceflow.A
+    g0 = jax.tree.map(lambda x: x[0], batch)
+
+    sigma_obs = 0.5  # metres of thickness noise
+    rng = np.random.default_rng(7)
+    H = np.asarray(batch.thickness_data.H)
+
+    recovered = []
+    for k in range(8):
+        noise = rng.normal(0.0, sigma_obs, size=H.shape)
+        noise[..., :, :] *= (H > 0)  # keep padding/ice-free refs exactly zero
+        noisy = jax.tree.map(lambda x: x, batch)
+        noisy = noisy.replace(thickness_data=dataclasses.replace(
+            batch.thickness_data, H=jnp.asarray(H + noise)))
+        th, losses = lm_train(
+            {"A": jnp.copy(theta0["A"])}, noisy, resid,
+            iters=8, cg_iters=4)
+        a = float(eval_law(law, th, g0, glacier_idx=0))
+        recovered.append(a)
+        # the last fit also prices the Laplace posterior
+        if k == 7:
+            post = laplace_posterior(th, noisy, resid)
+            _, s_pred = post.std(
+                lambda t: eval_law(law, t, g0, glacier_idx=0))
+
+    emp = float(np.std(recovered, ddof=1))
+    pred = float(s_pred)
+    assert emp > 0 and pred > 0
+    ratio = pred / emp
+    assert 0.25 < ratio < 4.0, (
+        f"Laplace std {pred:.3e} vs empirical {emp:.3e} (ratio {ratio:.2f}) "
+        f"— recovered A's: {recovered}"
+    )
