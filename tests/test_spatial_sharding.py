@@ -217,3 +217,33 @@ def test_theta_spatial_placement(problem):
     th25["IC"] = jnp.zeros((4, 25, 24))
     with pytest.raises(NotImplementedError, match="spatial sharding with row padding"):
         shard_inversion_spatial(th25, g25, mesh25)
+
+
+@pytest.mark.slow  # composition row: manual adjoint x LM stage x 2-D mesh
+def test_manual_adjoint_and_lm_on_2d_mesh(problem):
+    """The production optimizer ladder (Adam -> LM) with the MANUAL discrete
+    adjoint (grad="discrete") runs unchanged on the 2-D dp x sp mesh and
+    matches the single-device run — GSPMD partitions the hand-written
+    adjoint sweep and the LM CG body exactly like the AD path."""
+    from odinn_tpu.simulation.inversion import Inversion, train_ude
+
+    params, model, batch, theta, tstops = problem
+    params = params.replace(
+        hyper=Hyperparameters(optimizer=("adam", "lm"),
+                              learning_rate=(1e-2, 1e-2), epochs=(2, 2),
+                              batch_size=4, gn_cg_iters=4),
+        UDE=UDEParameters(grad="discrete"),
+    )
+    inv_ref = Inversion(model=model, glaciers=batch, parameters=params,
+                        theta=jax.tree.map(jnp.copy, theta))
+    res_ref = train_ude(inv_ref)
+
+    mesh = make_mesh_2d(n_glaciers=4, n_rows=2)
+    inv_m = Inversion(model=model, glaciers=batch, parameters=params,
+                      theta=jax.tree.map(jnp.copy, theta))
+    res_m = train_ude(inv_m, mesh=mesh)
+
+    np.testing.assert_allclose(res_m.stats.losses, res_ref.stats.losses,
+                               rtol=1e-8)
+    for a, b in zip(jax.tree.leaves(inv_m.theta), jax.tree.leaves(inv_ref.theta)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
