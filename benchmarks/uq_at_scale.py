@@ -1,0 +1,173 @@
+"""At-scale uncertainty quantification: Laplace posterior over a 128-glacier
+classical inversion with NOISY observations, on the production configuration
+(128² grids, f32, SI solver) — the statistic-level counterpart of
+train_at_scale.py's point-estimate gates.
+
+What it measures (written to uq_at_scale_result.json):
+
+1. **posterior build time** with ``structure="per_glacier"`` (one jvp per θ
+   leaf — the block-diagonal fast path; the generic dense path would cost
+   128 HVPs) and the per-quantity query time;
+2. **calibration at scale**: observations carry iid N(0, σ_obs²) thickness
+   noise, so the inverted per-glacier A's scatter around truth; z_g =
+   (Â_g − A_true(T_g))/σ̂_g should be ~N(0, 1) if the posterior is honest —
+   we record median |z|, the 95 % coverage fraction (|z| < 1.96), and the
+   min/median/max predicted relative σ_A;
+3. **projection UQ**: the delta-method std of a fully downstream quantity —
+   the warmest glacier's dome (peak) thickness at t_end from a forward solve
+   through the fitted law (one reverse-mode gradient through the PDE + one
+   covariance contraction). NOT total volume: MB-off SIA conserves volume up
+   to boundary flux, so volume's A-sensitivity is ~0 by construction.
+
+Run: JAX on the available backend (TPU in the benchmark environment);
+~2-4 min including compiles.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from train_at_scale import build_glaciers  # noqa: E402
+
+
+def main():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from odinn_tpu.core.glacier import stack_glaciers
+    from odinn_tpu.core.params import (Hyperparameters, Parameters,
+                                       PhysicalParameters, SimulationParameters,
+                                       SolverParameters, UDEParameters)
+    from odinn_tpu.inverse.gauss_newton import make_residual_fn
+    from odinn_tpu.inverse.uncertainty import laplace_posterior
+    from odinn_tpu.laws.laws import (CuffeyPaterson, LawA_inversion,
+                                     poly_A_paterson_cuffey)
+    from odinn_tpu.models.model import Model, SIA2DModel
+    from odinn_tpu.simulation.inversion import Inversion, run_inversion
+    from odinn_tpu.simulation.prediction import forward_glacier, generate_ground_truth
+    from odinn_tpu.simulation.solver import build_tstops
+
+    NG = int(os.environ.get("ODINN_BENCH_NG", "128"))
+    NX = int(os.environ.get("ODINN_BENCH_NX", "128"))
+    SIGMA_OBS = float(os.environ.get("ODINN_UQ_SIGMA_OBS", "1.0"))  # metres
+
+    stages = [("adam", 0.1, 60), ("adam", 0.02, 60), ("adam", 0.004, 60),
+              ("adam", 8e-4, 80), ("adam", 1.6e-4, 80), ("adam", 3e-5, 80)]
+    params = Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=(5.0, 7.0), use_MB=False,
+                                        use_velocities=False,
+                                        float_dtype="float32"),
+        solver=SolverParameters(step=1 / 12, substeps=1, solver="SI",
+                                cg_iters=20, remat=False),
+        hyper=Hyperparameters(optimizer=tuple(s[0] for s in stages),
+                              learning_rate=tuple(s[1] for s in stages),
+                              epochs=tuple(s[2] for s in stages),
+                              batch_size=NG, grad_accum_chunks="auto"),
+        UDE=UDEParameters(grad="jax", target="A"),
+    )
+    tstops = build_tstops(params.simulation.tspan, params.solver.step)
+    a_true_fn = poly_A_paterson_cuffey()
+
+    temps, glaciers = build_glaciers(NG, NX)
+    truth = Model(iceflow=SIA2DModel(A=CuffeyPaterson(), n_value=3.0))
+    t0 = time.time()
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+    t_gt = time.time() - t0
+
+    # observation noise: iid N(0, σ_obs²) on the thickness references where
+    # ice exists (exact zeros elsewhere keep the loss masks and the
+    # N_eff-counting contract intact)
+    rng = np.random.default_rng(42)
+    batch = stack_glaciers(glaciers)
+    H = np.asarray(batch.thickness_data.H, np.float64)
+    noise = rng.normal(0.0, SIGMA_OBS, size=H.shape) * (H > 0)
+    batch = batch.replace(thickness_data=dataclasses.replace(
+        batch.thickness_data, H=jnp.asarray((H + noise).astype(np.float32))))
+
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True),
+                                     n_value=3.0))
+    inv = Inversion(model=model, glaciers=batch, parameters=params)
+    inv.theta = jax.tree.map(lambda x: x.astype(jnp.float32), inv.theta)
+    t0 = time.time()
+    res = run_inversion(inv)
+    t_train = time.time() - t0
+
+    # ---- Laplace posterior (per-glacier block fast path) ----
+    resid = make_residual_fn(model, params, tstops)
+    t0 = time.time()
+    post = laplace_posterior(inv.theta, batch, resid, structure="per_glacier")
+    t_post = time.time() - t0
+
+    # all 128 physical A's and their stds in ONE band query (the tanh-bound
+    # law mapped per glacier; delta method through the bound)
+    phys = params.physical
+    law = model.iceflow.A
+
+    def all_A(th):
+        return jax.vmap(
+            lambda i: law.apply(th, {"glacier_idx": i})
+        )(jnp.arange(NG))
+
+    t0 = time.time()
+    a_hat, a_std = post.band(all_A)
+    a_hat = np.asarray(a_hat, np.float64)
+    a_std = np.asarray(a_std, np.float64)
+    t_band = time.time() - t0
+
+    a_ref = np.asarray([float(a_true_fn(jnp.asarray(float(t)))) for t in temps])
+    z = (a_hat - a_ref) / a_std
+    cover95 = float(np.mean(np.abs(z) < 1.96))
+    rel_sigma = a_std / a_hat
+
+    # ---- projection UQ: warmest glacier's dome thickness at t_end ----
+    gw = jax.tree.map(lambda x: x[NG - 1], batch)
+
+    def dome_H_t_end(th):
+        traj = forward_glacier(th, gw, jnp.asarray(NG - 1), model, params,
+                               tstops)
+        return jnp.max(traj[-1])   # metres
+
+    t0 = time.time()
+    vol, vol_std = post.std(dome_H_t_end)
+    t_proj = time.time() - t0
+
+    result = {
+        "n_glaciers": NG, "grid": NX, "dtype": "float32", "solver": "SI",
+        "sigma_obs_m": SIGMA_OBS,
+        "ground_truth_s": round(t_gt, 2),
+        "train_s": round(t_train, 2),
+        "posterior_build_s": round(t_post, 2),
+        "band_128_quantities_s": round(t_band, 2),
+        "projection_uq_s": round(t_proj, 2),
+        "calibration": {
+            "median_abs_z": float(np.median(np.abs(z))),
+            "max_abs_z": float(np.max(np.abs(z))),
+            "coverage_95pct": cover95,
+            "rel_sigma_A_min": float(rel_sigma.min()),
+            "rel_sigma_A_median": float(np.median(rel_sigma)),
+            "rel_sigma_A_max": float(rel_sigma.max()),
+        },
+        "projection": {
+            "dome_H_m": float(vol), "dome_H_std_m": float(vol_std),
+            "rel_std": float(vol_std / vol),
+        },
+        "loss0": float(res.stats.losses[0]),
+        "loss_final": float(res.stats.final_loss),
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "uq_at_scale_result.json")
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,17 +23,26 @@ input, a forecast volume), the delta method gives
 
 TPU-native construction: no Jacobian is ever materialized. (JᵀJ)v products
 are one `jax.jvp` through the (vmapped, checkpointed) PDE solve followed by
-the `jax.vjp` pullback — the same operator the LM trainer's CG uses. Two
-execution paths:
+the `jax.vjp` pullback — the same operator the LM trainer's CG uses. Three
+curvature paths:
 
-- **dense** (default for ≤ `dense_threshold` parameters — classical
-  inversions have p = n_glaciers, the reference-default NN ~60 weights):
-  p GN-HVPs under `lax.map` build the p×p GGN once; a single Cholesky
-  factorization then prices EVERY subsequent quantity at one triangular
-  solve — a band of 100 law evaluations costs ~nothing beyond its
-  gradients.
-- **matrix-free** (large NN θ): one preconditioned CG solve per quantity,
-  reusing `gauss_newton._cg_tree` in θ-pytree space.
+- **per-glacier block** (``structure="per_glacier"``, classical inversions):
+  per-glacier laws route θ by ``glacier_idx``, so J is block-diagonal by
+  glacier — the EXACT GGN costs one jvp per θ leaf (tangent 1 on every
+  glacier at once) instead of p HVPs: G× cheaper.
+- **dense** (default for ≤ `dense_threshold` parameters — the
+  reference-default NN ~60 weights): p GN-HVPs under `lax.map` build the
+  p×p GGN once.
+- **matrix-free** (large NN θ): one CG solve per quantity.
+
+All covariance algebra and delta-method contractions run in NUMPY float64
+regardless of the PDE dtype: physical glaciology quantities live at 1e-18
+scale (Pa⁻³ s⁻¹), whose *squares* (1e-36 and below) underflow float32 —
+the PDE linearizations stay f32 on device, the tiny p×p algebra is exact.
+
+Every jitted helper takes (θ, batch) as EXPLICIT arguments — zero-arg jit
+closures bake the glacier batch in as constants, which remote TPU backends
+re-ship per call (measured 493 s → ~1 s posterior build at 128 glaciers).
 
 σ² defaults to the classic unbiased estimate ‖r‖²/(N_eff − p) with N_eff =
 #{structurally active residuals} (masked-out entries are exactly 0.0 in
@@ -52,9 +61,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.flatten_util import ravel_pytree
 
-from odinn_tpu.inverse.gauss_newton import _cg_tree
-
-__all__ = ["estimate_sigma2", "laplace_posterior", "laplace_uncertainty", "LaplacePosterior"]
+__all__ = ["estimate_sigma2", "laplace_posterior", "laplace_uncertainty",
+           "LaplacePosterior"]
 
 
 def estimate_sigma2(r, n_params: int):
@@ -64,10 +72,10 @@ def estimate_sigma2(r, n_params: int):
     while active residuals of a float fit are never exactly zero — counting
     ``r != 0`` recovers the active-observation count without threading the
     masks out of the loss assembly."""
-    r = jnp.ravel(r)
-    n_eff = jnp.sum(r != 0.0)
-    dof = jnp.maximum(n_eff - n_params, 1)
-    return jnp.sum(r * r) / dof.astype(r.dtype)
+    r = np.ravel(np.asarray(r, np.float64))
+    n_eff = int(np.sum(r != 0.0))
+    dof = max(n_eff - n_params, 1)
+    return float(np.sum(r * r) / dof)
 
 
 @dataclasses.dataclass
@@ -80,68 +88,91 @@ class LaplacePosterior:
     - ``band(vector_fn)`` → (values, stds) of a vector quantity (e.g. a law
       swept over an input grid — a pointwise confidence band);
     - ``theta_std()`` → elementwise posterior std of θ itself (pytree).
+
+    All returned stds are float64 (the delta-method contraction runs in
+    numpy f64 — f32 underflows at glaciology's 1e-18 quantity scales).
     """
 
     theta: object
     sigma2: float
-    _flat: jnp.ndarray
     _unravel: Callable
-    _chol: Optional[jnp.ndarray]          # dense path: Cholesky of the GGN
-    _matvec: Optional[Callable]           # matrix-free path: v ↦ (JᵀJ/σ²+P)v
-    _prior_precision: float
-    _cg_iters: int
+    _p: int
+    _cov: Optional[np.ndarray]            # dense/per-glacier: Σ, np.float64
+    _solve_fn: Optional[Callable]         # matrix-free: g_flat ↦ Σg (f64)
 
-    def _solve(self, g_flat):
-        """Σ g for a flat gradient g (one column)."""
-        if self._chol is not None:
-            return jax.scipy.linalg.cho_solve((self._chol, True), g_flat)
-        sol = _cg_tree(
-            lambda v: self._unravel_apply(v),
-            self._unravel(g_flat),
-            self._cg_iters,
-        )
-        return ravel_pytree(sol)[0]
+    def _solve(self, g_flat: np.ndarray) -> np.ndarray:
+        if self._cov is not None:
+            return self._cov @ g_flat
+        return self._solve_fn(g_flat)
 
-    def _unravel_apply(self, v_tree):
-        flat = ravel_pytree(v_tree)[0]
-        return self._unravel(self._matvec(flat))
+    def _grad_flat(self, quantity_fn) -> tuple:
+        # jitted: an eager vjp dispatches the whole PDE solve op-by-op on
+        # remote backends (~35 ms round-trip per op over a TPU tunnel)
+        q, g = jax.jit(jax.value_and_grad(
+            lambda th: jnp.asarray(quantity_fn(th)).sum()))(self.theta)
+        return q, np.asarray(ravel_pytree(g)[0], np.float64)
 
     def std(self, quantity_fn: Callable):
         """(value, posterior std) of scalar ``quantity_fn(theta)``."""
-        q, vjp = jax.vjp(quantity_fn, self.theta)
-        (g,) = vjp(jnp.ones_like(q))
-        g_flat = ravel_pytree(g)[0]
-        var = jnp.dot(g_flat, self._solve(g_flat))
-        return q, jnp.sqrt(jnp.maximum(var, 0.0))
+        q, g = self._grad_flat(quantity_fn)
+        var = float(g @ self._solve(g))
+        return q, float(np.sqrt(max(var, 0.0)))
 
     def band(self, vector_fn: Callable):
         """(values, pointwise stds) of vector ``vector_fn(theta)`` — the
         confidence band of a law swept over an input grid."""
-        q = vector_fn(self.theta)
-        G = jax.jacrev(lambda th: jnp.ravel(vector_fn(th)))(self.theta)
-        G_flat = jax.vmap(lambda *leaves: jnp.concatenate(
-            [jnp.ravel(l) for l in leaves]))(*jax.tree.leaves(G))
-        if self._chol is not None:
-            sols = jax.scipy.linalg.cho_solve((self._chol, True), G_flat.T)
-            variances = jnp.sum(G_flat * sols.T, axis=1)
+        q = jax.jit(vector_fn)(self.theta)
+        G = jax.jit(jax.jacrev(lambda th: jnp.ravel(vector_fn(th))))(self.theta)
+        G_flat = np.asarray(jax.vmap(lambda *leaves: jnp.concatenate(
+            [jnp.ravel(l) for l in leaves]))(*jax.tree.leaves(G)), np.float64)
+        if self._cov is not None:
+            variances = np.einsum("mp,pq,mq->m", G_flat, self._cov, G_flat)
         else:
-            variances = jnp.stack([
-                jnp.dot(g, self._solve(g)) for g in G_flat
-            ])
-        return q, jnp.sqrt(jnp.maximum(variances, 0.0)).reshape(jnp.shape(q))
+            variances = np.array([g @ self._solve(g) for g in G_flat])
+        stds = np.sqrt(np.maximum(variances, 0.0)).reshape(np.shape(q))
+        return q, stds
 
     def theta_std(self):
-        """Elementwise posterior std of θ (pytree like θ)."""
-        p = self._flat.size
-        if self._chol is not None:
-            cov_diag = jnp.diagonal(jax.scipy.linalg.cho_solve(
-                (self._chol, True), jnp.eye(p, dtype=self._flat.dtype)))
+        """Elementwise posterior std of θ (pytree like θ, numpy float64)."""
+        if self._cov is not None:
+            diag = np.diag(self._cov)
         else:
-            cov_diag = jnp.stack([
-                self._solve(jnp.zeros((p,), self._flat.dtype).at[i].set(1.0))[i]
-                for i in range(p)
+            diag = np.array([
+                self._solve(np.eye(self._p, dtype=np.float64)[i])[i]
+                for i in range(self._p)
             ])
-        return self._unravel(jnp.sqrt(jnp.maximum(cov_diag, 0.0)))
+        return self._unravel_np(np.sqrt(np.maximum(diag, 0.0)))
+
+    def _unravel_np(self, flat_f64: np.ndarray):
+        # rebuild θ's pytree shape with numpy-f64 leaves (ravel_pytree and
+        # tree.flatten share leaf order)
+        leaves, tdef = jax.tree.flatten(self.theta)
+        out, off = [], 0
+        for l in leaves:
+            n = int(np.prod(l.shape)) if l.ndim else 1
+            out.append(flat_f64[off:off + n].reshape(l.shape))
+            off += n
+        return jax.tree.unflatten(tdef, out)
+
+
+def _finish_dense(theta, unravel, p, sigma2, prior_precision, JtJ64):
+    """Assemble H = JᵀJ/σ² + prior, invert in f64, return the posterior."""
+    H = JtJ64 / sigma2
+    if prior_precision == 0.0:
+        H = H + (1e-8 * float(np.mean(np.diag(H))) + 1e-300) * np.eye(p)
+    else:
+        H = H + prior_precision * np.eye(p)
+    # SPD check via Cholesky before inverting
+    try:
+        np.linalg.cholesky(H)
+    except np.linalg.LinAlgError as e:
+        raise FloatingPointError(
+            "GGN Cholesky failed — the curvature is singular at this θ. "
+            "Pass prior_std= to regularize, or check that the inversion "
+            "converged."
+        ) from e
+    cov = np.linalg.inv(H)
+    return LaplacePosterior(theta, sigma2, unravel, p, cov, None)
 
 
 def laplace_posterior(
@@ -153,6 +184,7 @@ def laplace_posterior(
     dense_threshold: int = 1024,
     cg_iters: int = 100,
     glacier_ids=None,
+    structure: Optional[str] = None,
 ) -> LaplacePosterior:
     """Build the Laplace posterior N(θ*, (JᵀJ/σ² + I/τ²)⁻¹) at θ* = ``theta``.
 
@@ -170,17 +202,19 @@ def laplace_posterior(
     floor (1e-8 of the mean GGN diagonal) for invertibility — appropriate
     when p ≪ N (classical inversions). Overparameterized NNs NEED a real
     τ; a warning is emitted when p ≥ N_eff and no prior is given.
+    ``structure="per_glacier"``: classical-inversion fast path — θ leaves
+    are per-glacier vectors (G,), J is block-diagonal by glacier, and the
+    exact GGN costs one jvp per leaf instead of p HVPs (G× cheaper).
     """
     flat, unravel = ravel_pytree(theta)
     p = int(flat.size)
     dt_ = flat.dtype
 
-    def rfn(th):
-        return (resid(th, batch) if glacier_ids is None
-                else resid(th, batch, glacier_ids))
+    def rfn(th, b):
+        return resid(th, b) if glacier_ids is None else resid(th, b, glacier_ids)
 
-    r, pb = jax.vjp(rfn, theta)
-    n_eff = int(jnp.sum(jnp.ravel(r) != 0.0))
+    r = jax.jit(rfn)(theta, batch)
+    n_eff = int(np.sum(np.ravel(np.asarray(r)) != 0.0))
     if sigma2 is None:
         if p >= n_eff and prior_std is None:
             import warnings
@@ -191,43 +225,118 @@ def laplace_posterior(
                 "‖r‖²/N_eff and the GGN is rank-deficient — pass prior_std "
                 "to get a well-posed posterior."
             )
-        sigma2 = float(estimate_sigma2(np.asarray(jnp.ravel(r)), min(p, n_eff - 1)))
+        sigma2 = estimate_sigma2(np.asarray(r), min(p, n_eff - 1))
     prior_precision = 0.0 if prior_std is None else 1.0 / float(prior_std) ** 2
 
-    def gnvp_flat(v_flat):
-        v = unravel(v_flat)
-        _, jv = jax.jvp(rfn, (theta,), (v,))
-        (jtv,) = pb(jv)
-        out = ravel_pytree(jtv)[0] / sigma2
-        return out + prior_precision * v_flat
+    if structure == "per_glacier":
+        # Classical-inversion fast path: glacier g's residual block depends
+        # ONLY on θ[·][g] (per-glacier laws route θ by glacier_idx), so J is
+        # block-diagonal by glacier and ONE jvp per θ leaf — tangent 1 on
+        # that leaf for EVERY glacier simultaneously — recovers J's (g, l)
+        # column blocks exactly: L jvps instead of p = G·L HVPs.
+        leaves, tdef = jax.tree.flatten(theta)
+        if not leaves or leaves[0].ndim != 1:
+            raise ValueError("structure='per_glacier' requires 1-D θ leaves")
+        G = leaves[0].shape[0]
+        for x in leaves:
+            if x.ndim != 1 or x.shape[0] != G:
+                raise ValueError(
+                    "structure='per_glacier' requires every θ leaf to be a "
+                    f"per-glacier vector of shape ({G},); got {x.shape}"
+                )
+        L = len(leaves)
+
+        @jax.jit
+        def leaf_jvs(th, b):
+            lv, td = jax.tree.flatten(th)
+            out = []
+            for l in range(L):
+                v = jax.tree.unflatten(td, [
+                    jnp.ones_like(x) if i == l else jnp.zeros_like(x)
+                    for i, x in enumerate(lv)])
+                _, jv = jax.jvp(lambda t: rfn(t, b), (th,), (v,))
+                out.append(jv.reshape(G, -1))
+            return out
+
+        jvs = [np.asarray(a, np.float64) for a in leaf_jvs(theta, batch)]
+        JtJ = np.zeros((p, p), dtype=np.float64)
+        idx = np.arange(G)
+        for l in range(L):                            # flat layout is
+            for m in range(l, L):                     # leaf-major: off_l = l·G
+                s = np.sum(jvs[l] * jvs[m], axis=1)
+                JtJ[l * G + idx, m * G + idx] = s
+                JtJ[m * G + idx, l * G + idx] = s
+        return _finish_dense(theta, unravel, p, sigma2, prior_precision, JtJ)
 
     if p <= dense_threshold:
         # p GN-HVPs (lax.map bounds the live JVP trajectories to one) build
-        # the exact GGN; one Cholesky then prices every query
-        eye = jnp.eye(p, dtype=dt_)
-        H = jax.jit(lambda: jax.lax.map(gnvp_flat, eye))()
-        H = 0.5 * (H + H.T)
-        if prior_precision == 0.0:
-            jitter = 1e-8 * jnp.mean(jnp.diag(H)) + jnp.asarray(1e-300, dt_)
-            H = H + jitter * eye
-        chol = jax.scipy.linalg.cholesky(H, lower=True)
-        if not bool(jnp.all(jnp.isfinite(chol))):
-            raise FloatingPointError(
-                "GGN Cholesky failed — the curvature is singular at this θ. "
-                "Pass prior_std= to regularize, or check that the inversion "
-                "converged."
-            )
-        return LaplacePosterior(theta, sigma2, flat, unravel, chol, None,
-                                prior_precision, cg_iters)
+        # the exact raw JᵀJ; numpy f64 assembles and inverts
+        @jax.jit
+        def build_raw(th, b):
+            _, pb = jax.vjp(lambda t: rfn(t, b), th)
+
+            def hvp(e):
+                v = unravel(e)
+                _, jv = jax.jvp(lambda t: rfn(t, b), (th,), (v,))
+                (jtv,) = pb(jv)
+                return ravel_pytree(jtv)[0]
+
+            return jax.lax.map(hvp, jnp.eye(p, dtype=dt_))
+
+        JtJ = np.asarray(build_raw(theta, batch), np.float64)
+        JtJ = 0.5 * (JtJ + JtJ.T)
+        return _finish_dense(theta, unravel, p, sigma2, prior_precision, JtJ)
+
+    # matrix-free: one flat-space CG solve of (JᵀJ/σ² + P)x = g per query,
+    # jitted with (θ, batch) as explicit args (no baked constants)
     if prior_precision == 0.0:
-        # matrix-free path needs an SPD operator for CG — give the jitter a
-        # scale from a one-probe Hutchinson diagonal estimate
-        probe = jax.random.rademacher(jax.random.PRNGKey(0), (p,), dt_)
-        scale = jnp.abs(jnp.dot(probe, gnvp_flat(probe))) / p
-        prior_precision = float(1e-8 * scale + 1e-300)
-    mv = jax.jit(lambda v: gnvp_flat(v))
-    return LaplacePosterior(theta, sigma2, flat, unravel, None, mv,
-                            prior_precision, cg_iters)
+        @jax.jit
+        def probe_scale(th, b, key):
+            _, pb = jax.vjp(lambda t: rfn(t, b), th)
+            v = jax.random.rademacher(key, (p,), dt_)
+            _, jv = jax.jvp(lambda t: rfn(t, b), (th,), (unravel(v),))
+            (jtv,) = pb(jv)
+            return jnp.abs(jnp.dot(v, ravel_pytree(jtv)[0]))
+
+        scale = float(probe_scale(theta, batch, jax.random.PRNGKey(0))) / (
+            p * sigma2)
+        prior_precision = 1e-8 * scale + 1e-300
+
+    s2 = jnp.asarray(sigma2, dt_)
+    pp = jnp.asarray(prior_precision, dt_)
+
+    @jax.jit
+    def cg_solve(g_flat, th, b):
+        _, pb = jax.vjp(lambda t: rfn(t, b), th)
+
+        def mv(v):
+            _, jv = jax.jvp(lambda t: rfn(t, b), (th,), (unravel(v),))
+            (jtv,) = pb(jv)
+            return ravel_pytree(jtv)[0] / s2 + pp * v
+
+        def body(carry, _):
+            x, rr, pvec, rz = carry
+            Ap = mv(pvec)
+            denom = jnp.dot(pvec, Ap)
+            alpha = jnp.where(denom > 0.0, rz / jnp.maximum(denom, 1e-300), 0.0)
+            x = x + alpha * pvec
+            rr = rr - alpha * Ap
+            rz_new = jnp.dot(rr, rr)
+            beta = jnp.where(rz > 0.0, rz_new / jnp.maximum(rz, 1e-300), 0.0)
+            pvec = rr + beta * pvec
+            return (x, rr, pvec, rz_new), None
+
+        x0 = jnp.zeros_like(g_flat)
+        (x, _, _, _), _ = jax.lax.scan(
+            body, (x0, g_flat, g_flat, jnp.dot(g_flat, g_flat)), None,
+            length=cg_iters)
+        return x
+
+    def solve_fn(g64: np.ndarray) -> np.ndarray:
+        g = jnp.asarray(g64, dt_)
+        return np.asarray(cg_solve(g, theta, batch), np.float64)
+
+    return LaplacePosterior(theta, sigma2, unravel, p, None, solve_fn)
 
 
 def laplace_uncertainty(inversion, **kwargs) -> LaplacePosterior:
@@ -236,7 +345,7 @@ def laplace_uncertainty(inversion, **kwargs) -> LaplacePosterior:
     Builds the residual map from the inversion's own model/params (the
     training objective in least-squares form) and prices the Laplace
     posterior at the trained θ. Keyword arguments are forwarded to
-    :func:`laplace_posterior` (``sigma2``, ``prior_std``, ``cg_iters``, …).
+    :func:`laplace_posterior` (``sigma2``, ``prior_std``, ``structure``, …).
     """
     from odinn_tpu.inverse.gauss_newton import make_residual_fn
     from odinn_tpu.simulation.inversion import assemble_tstops

@@ -196,3 +196,22 @@ def test_monte_carlo_calibration(classical):
         f"Laplace std {pred:.3e} vs empirical {emp:.3e} (ratio {ratio:.2f}) "
         f"— recovered A's: {recovered}"
     )
+
+
+def test_per_glacier_structure_matches_dense(classical):
+    """structure='per_glacier' (one jvp per θ leaf, exploiting the
+    block-diagonal J of per-glacier laws) equals the generic p-HVP dense
+    GGN — same θ stds, same quantity stds."""
+    params, model, batch, theta, tstops, resid = classical
+    kw = dict(sigma2=1.0)
+    dense = laplace_posterior(theta, batch, resid, **kw)
+    fast = laplace_posterior(theta, batch, resid, structure="per_glacier", **kw)
+    sd = dense.theta_std()
+    sf = fast.theta_std()
+    np.testing.assert_allclose(np.asarray(sf["A"]), np.asarray(sd["A"]),
+                               rtol=1e-9)
+    g0 = jax.tree.map(lambda x: x[0], batch)
+    law = model.iceflow.A
+    q = lambda th: eval_law(law, th, g0, glacier_idx=0)
+    np.testing.assert_allclose(float(fast.std(q)[1]), float(dense.std(q)[1]),
+                               rtol=1e-9)
