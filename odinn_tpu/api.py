@@ -62,13 +62,18 @@ from odinn_tpu.data.synthetic import halfar_glacier, monthly_dummy_climate
 
 # physics / models -----------------------------------------------------------
 from odinn_tpu.models.model import Model, SIA2DModel, init_theta
-from odinn_tpu.models.nn import NeuralNetwork, default_architecture
+from odinn_tpu.models.nn import NeuralNetwork, default_architecture, fourier_feature
 from odinn_tpu.models.nn_utils import pretraining
 from odinn_tpu.models.initial_condition import InitialCondition
 from odinn_tpu.models.mb_machine import CustomMLP, load_model, save_model
 from odinn_tpu.physics.mass_balance import TImodel1, validate_model_simulation_compatibility
 from odinn_tpu.physics.sia2d import sia2d_rhs, surface_velocity, v_from_h
-from odinn_tpu.physics.targets import ATarget, DHybridTarget, DPureTarget
+from odinn_tpu.physics.targets import ATarget, CappedTarget, DHybridTarget, DPureTarget
+
+# reference spellings (/root/reference/src/models/targets/*.jl exports)
+SIA2D_A_target = ATarget
+SIA2D_D_hybrid_target = DHybridTarget
+SIA2D_D_target = DPureTarget
 
 
 def SIA2Dmodel(params=None, A=None, C=None, n=None, Y=None, U=None,
@@ -98,6 +103,18 @@ from odinn_tpu.laws.laws import (
 )
 
 polyA_PatersonCuffey = poly_A_paterson_cuffey
+
+
+def GlacierWideInv(params, grid_shape=None):
+    """Per-glacier scalar-A inversion component
+    (/root/reference/src/models/trainable_components/InvComponents.jl export
+    ``GlacierWideInv``): one trainable A per glacier."""
+    return LawA_inversion(params, scalar=True, grid_shape=grid_shape)
+
+
+def GriddedInv(params, grid_shape):
+    """Per-pixel gridded-A inversion component (reference ``GriddedInv``)."""
+    return LawA_inversion(params, scalar=False, grid_shape=grid_shape)
 
 from odinn_tpu.laws.inputs import (
     AvgGriddedTemp,
@@ -140,6 +157,22 @@ from odinn_tpu.inverse.adjoint_types import (
 
 SciMLSensitivityAdjoint = JaxAdjoint
 EnzymeVJP = AutoVJP
+
+# Hand-written VJP/gradient surface under its reference names
+# (/root/reference/src/inverse exports: SIA2D_grad!, VJP_λ_∂SIA∂H_*,
+# VJP_λ_∂SIA∂θ_*, backward_loss). ``∂`` is not a valid Python identifier
+# character, so the ASCII spellings substitute ``d`` for it.
+from functools import partial as _partial
+
+from odinn_tpu.inverse.gradient import glacier_adjoint_value_and_grad, make_adjoint_value_and_grad
+from odinn_tpu.inverse.vjps import vjp_sia_dH, vjp_sia_dtheta
+from odinn_tpu.losses.losses import backward_simple_loss as backward_loss
+
+SIA2D_grad = make_adjoint_value_and_grad
+VJP_λ_dSIA_dH_discrete = _partial(vjp_sia_dH, "discrete")
+VJP_λ_dSIA_dH_continuous = _partial(vjp_sia_dH, "continuous")
+VJP_λ_dSIA_dθ_discrete = _partial(vjp_sia_dtheta, "discrete")
+VJP_λ_dSIA_dθ_continuous = _partial(vjp_sia_dtheta, "continuous")
 
 # simulation -------------------------------------------------------------------
 from odinn_tpu.simulation.inversion import Inversion, run_inversion, train_ude
@@ -184,6 +217,13 @@ from odinn_tpu.utils.time_utils import (
 )
 
 indFromT = ind_from_t
+
+from odinn_tpu.utils.flatten import theta_to_vector, vector_to_theta
+
+# reference's ComponentArrays bridge (Vector2ComponentVector / inverse):
+# θ here is a pytree, the flat view is a jnp vector.
+Vector2ComponentVector = vector_to_theta
+ComponentVector2Vector = theta_to_vector
 
 # parallel -----------------------------------------------------------------------
 from odinn_tpu.parallel.mesh import make_mesh, pad_batch_to, replicate, shard_glacier_axis

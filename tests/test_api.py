@@ -32,8 +32,26 @@ def test_api_surface_importable():
         "save_inversion_file", "load_inversion_file", "TrainingLogger",
         "plot_glacier", "plot_law", "datetime_to_floatyear", "indFromT",
         "make_mesh", "suggest_substeps",
+        # round-3 alias sweep (every remaining reference export name)
+        "SIA2D_A_target", "SIA2D_D_hybrid_target", "SIA2D_D_target",
+        "GlacierWideInv", "GriddedInv", "fourier_feature", "pretraining",
+        "backward_loss", "SIA2D_grad", "Vector2ComponentVector",
+        "ComponentVector2Vector", "VJP_λ_dSIA_dH_discrete",
+        "VJP_λ_dSIA_dH_continuous", "VJP_λ_dSIA_dθ_discrete",
+        "VJP_λ_dSIA_dθ_continuous", "CappedTarget", "TrainingResult",
     ]:
         assert hasattr(api, name), f"api missing {name}"
+
+
+def test_inv_component_constructors():
+    """GlacierWideInv/GriddedInv build the same laws as LawA_inversion."""
+    from odinn_tpu import api
+
+    params = api.Parameters()
+    law = api.GlacierWideInv(params)
+    assert law.slot == "A" and law.name == "InvA"
+    gridded = api.GriddedInv(params, grid_shape=(8, 8))
+    assert gridded.slot == "A" and gridded.name == "InvA_grid"
 
 
 def test_run_dispatch():
