@@ -171,6 +171,10 @@ def main():
         L = res.stats.losses
         a_rec = phys.min_A + (phys.max_A - phys.min_A) * (
             np.tanh(np.asarray(inv.theta["A"], np.float64)) + 1) / 2
+        # part 2 pretrains on these recovered A's; persist so a later
+        # ODINN_BENCH_PARTS=2 rerun doesn't need part 1 in the same process
+        np.savez(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "classical_A.npz"), A=a_rec, temps=temps)
         rels = np.abs(a_rec - a_ref) / a_ref
         result["classical"] = {
             "train_s": round(t_tr, 2), "niter": res.stats.niter,
@@ -193,6 +197,18 @@ def main():
     if "2" in parts:
         import subprocess
         import tempfile
+
+        if not _run_part1:
+            # recovered classical A's from a previous part-1 run (the pretrain
+            # targets); ODINN_BENCH_PARTS=2 without them cannot proceed
+            a_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "classical_A.npz")
+            if not os.path.exists(a_path):
+                raise RuntimeError(
+                    "part 2 pretrains on part 1's recovered A's; run with "
+                    "ODINN_BENCH_PARTS including '1' first (classical_A.npz "
+                    "not found)")
+            a_rec = np.load(a_path)["A"]
 
         from odinn_tpu.models.nn import MLP
         from odinn_tpu.simulation.inversion import (assemble_tstops,

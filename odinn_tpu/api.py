@@ -263,6 +263,19 @@ def enable_multiprocessing(params=None, workers: Optional[int] = None,
     if rows > 1:
         from odinn_tpu.parallel.spatial import make_mesh_2d
 
+        # same degrade-gracefully clamp as the 1-D path: the glacier axis
+        # shrinks to what the device count leaves after the row axis
+        max_g = n_dev // rows
+        if max_g < 1:
+            raise ValueError(
+                f"rows={rows} exceeds the {n_dev} visible devices")
+        if n is not None and n > max_g:
+            warnings.warn(
+                f"requested {n} glacier-axis workers × {rows} rows but only "
+                f"{n_dev} devices are visible; clamping the glacier axis to "
+                f"{max_g}"
+            )
+            n = max_g
         return set_active_mesh(make_mesh_2d(n_glaciers=n, n_rows=rows))
     if n is not None and n > n_dev:
         warnings.warn(

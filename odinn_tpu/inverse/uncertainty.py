@@ -66,7 +66,8 @@ __all__ = ["estimate_sigma2", "laplace_posterior", "laplace_uncertainty",
 
 
 def estimate_sigma2(r, n_params: int):
-    """σ̂² = ‖r‖² / max(N_eff − p, 1), N_eff = #active residuals.
+    """σ̂² = ‖r‖² / (N_eff − p), N_eff = #active residuals; falls back to
+    ‖r‖²/N_eff when p ≥ N_eff (overparameterized — no dof correction left).
 
     Masked/padded residual entries are structurally exact zeros (weight 0.0),
     while active residuals of a float fit are never exactly zero — counting
@@ -74,7 +75,7 @@ def estimate_sigma2(r, n_params: int):
     masks out of the loss assembly."""
     r = np.ravel(np.asarray(r, np.float64))
     n_eff = int(np.sum(r != 0.0))
-    dof = max(n_eff - n_params, 1)
+    dof = n_eff - n_params if n_eff > n_params else max(n_eff, 1)
     return float(np.sum(r * r) / dof)
 
 
@@ -95,7 +96,6 @@ class LaplacePosterior:
 
     theta: object
     sigma2: float
-    _unravel: Callable
     _p: int
     _cov: Optional[np.ndarray]            # dense/per-glacier: Σ, np.float64
     _solve_fn: Optional[Callable]         # matrix-free: g_flat ↦ Σg (f64)
@@ -155,7 +155,7 @@ class LaplacePosterior:
         return jax.tree.unflatten(tdef, out)
 
 
-def _finish_dense(theta, unravel, p, sigma2, prior_precision, JtJ64):
+def _finish_dense(theta, p, sigma2, prior_precision, JtJ64):
     """Assemble H = JᵀJ/σ² + prior, invert in f64, return the posterior."""
     H = JtJ64 / sigma2
     if prior_precision == 0.0:
@@ -172,7 +172,7 @@ def _finish_dense(theta, unravel, p, sigma2, prior_precision, JtJ64):
             "converged."
         ) from e
     cov = np.linalg.inv(H)
-    return LaplacePosterior(theta, sigma2, unravel, p, cov, None)
+    return LaplacePosterior(theta, sigma2, p, cov, None)
 
 
 def laplace_posterior(
@@ -225,7 +225,7 @@ def laplace_posterior(
                 "‖r‖²/N_eff and the GGN is rank-deficient — pass prior_std "
                 "to get a well-posed posterior."
             )
-        sigma2 = estimate_sigma2(np.asarray(r), min(p, n_eff - 1))
+        sigma2 = estimate_sigma2(np.asarray(r), p)
     prior_precision = 0.0 if prior_std is None else 1.0 / float(prior_std) ** 2
 
     if structure == "per_glacier":
@@ -245,6 +245,12 @@ def laplace_posterior(
                     f"per-glacier vector of shape ({G},); got {x.shape}"
                 )
         L = len(leaves)
+        # batch row-block g reads θ[·][ids[g]] (per-glacier routing), so the
+        # curvature of row g belongs at θ column ids[g] — and duplicate ids
+        # (one θ entry shared by several batch rows) must ACCUMULATE.
+        ids = (np.arange(G) if glacier_ids is None
+               else np.asarray(glacier_ids, dtype=int).ravel())
+        n_blocks = ids.shape[0]
 
         @jax.jit
         def leaf_jvs(th, b):
@@ -255,18 +261,18 @@ def laplace_posterior(
                     jnp.ones_like(x) if i == l else jnp.zeros_like(x)
                     for i, x in enumerate(lv)])
                 _, jv = jax.jvp(lambda t: rfn(t, b), (th,), (v,))
-                out.append(jv.reshape(G, -1))
+                out.append(jv.reshape(n_blocks, -1))
             return out
 
         jvs = [np.asarray(a, np.float64) for a in leaf_jvs(theta, batch)]
         JtJ = np.zeros((p, p), dtype=np.float64)
-        idx = np.arange(G)
         for l in range(L):                            # flat layout is
             for m in range(l, L):                     # leaf-major: off_l = l·G
                 s = np.sum(jvs[l] * jvs[m], axis=1)
-                JtJ[l * G + idx, m * G + idx] = s
-                JtJ[m * G + idx, l * G + idx] = s
-        return _finish_dense(theta, unravel, p, sigma2, prior_precision, JtJ)
+                np.add.at(JtJ, (l * G + ids, m * G + ids), s)
+                if m > l:
+                    np.add.at(JtJ, (m * G + ids, l * G + ids), s)
+        return _finish_dense(theta, p, sigma2, prior_precision, JtJ)
 
     if p <= dense_threshold:
         # p GN-HVPs (lax.map bounds the live JVP trajectories to one) build
@@ -285,7 +291,7 @@ def laplace_posterior(
 
         JtJ = np.asarray(build_raw(theta, batch), np.float64)
         JtJ = 0.5 * (JtJ + JtJ.T)
-        return _finish_dense(theta, unravel, p, sigma2, prior_precision, JtJ)
+        return _finish_dense(theta, p, sigma2, prior_precision, JtJ)
 
     # matrix-free: one flat-space CG solve of (JᵀJ/σ² + P)x = g per query,
     # jitted with (θ, batch) as explicit args (no baked constants)
@@ -307,6 +313,9 @@ def laplace_posterior(
 
     @jax.jit
     def cg_solve(g_flat, th, b):
+        # the LM trainer's pytree CG, applied to the single-leaf flat vector
+        from odinn_tpu.inverse.gauss_newton import _cg_tree
+
         _, pb = jax.vjp(lambda t: rfn(t, b), th)
 
         def mv(v):
@@ -314,29 +323,13 @@ def laplace_posterior(
             (jtv,) = pb(jv)
             return ravel_pytree(jtv)[0] / s2 + pp * v
 
-        def body(carry, _):
-            x, rr, pvec, rz = carry
-            Ap = mv(pvec)
-            denom = jnp.dot(pvec, Ap)
-            alpha = jnp.where(denom > 0.0, rz / jnp.maximum(denom, 1e-300), 0.0)
-            x = x + alpha * pvec
-            rr = rr - alpha * Ap
-            rz_new = jnp.dot(rr, rr)
-            beta = jnp.where(rz > 0.0, rz_new / jnp.maximum(rz, 1e-300), 0.0)
-            pvec = rr + beta * pvec
-            return (x, rr, pvec, rz_new), None
-
-        x0 = jnp.zeros_like(g_flat)
-        (x, _, _, _), _ = jax.lax.scan(
-            body, (x0, g_flat, g_flat, jnp.dot(g_flat, g_flat)), None,
-            length=cg_iters)
-        return x
+        return _cg_tree(mv, g_flat, cg_iters)
 
     def solve_fn(g64: np.ndarray) -> np.ndarray:
         g = jnp.asarray(g64, dt_)
         return np.asarray(cg_solve(g, theta, batch), np.float64)
 
-    return LaplacePosterior(theta, sigma2, unravel, p, None, solve_fn)
+    return LaplacePosterior(theta, sigma2, p, None, solve_fn)
 
 
 def laplace_uncertainty(inversion, **kwargs) -> LaplacePosterior:

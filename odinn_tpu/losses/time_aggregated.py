@@ -11,6 +11,11 @@ full saved trajectory, selecting the required tstops with static-shape masked
 reductions (the reference instead registers extra tstops via
 ``discretePostIntegralLossSteps`` and post-processes the solution object).
 Backward passes come from reverse-mode AD through the whole trajectory.
+
+Each loss assembles (pred, ref, mask) in ONE helper shared by ``__call__``
+and ``residuals`` so the scalar loss and its Gauss–Newton residual form
+cannot drift apart (the same invariant `_LossEnv` enforces for the
+transient losses).
 """
 
 from __future__ import annotations
@@ -43,26 +48,31 @@ class LossDhdt:
     loss: Any = field(default_factory=L2Sum)
     kind: str = "aggregate"
 
-    def __call__(self, ctx, traj, tstops):
+    def _pred(self, ctx, traj, tstops):
+        """(pred, ref, mask) or None when no dh/dt observation is attached."""
         dd = ctx.glacier.dhdt_data
         if dd is None:
-            return jnp.asarray(0.0)
+            return None
         h1 = _state_at(traj, tstops, dd.t1)
         h2 = _state_at(traj, tstops, dd.t2)
         pred = (h2 - h1) / (dd.t2 - dd.t1)
         mask = is_in_glacier(h2, self.loss.distance)
-        return simple_loss(self.loss, pred, dd.dhdt, mask, ctx.normalization)
+        return pred, dd.dhdt, mask
+
+    def __call__(self, ctx, traj, tstops):
+        pm = self._pred(ctx, traj, tstops)
+        if pm is None:
+            return jnp.asarray(0.0)
+        pred, ref, mask = pm
+        return simple_loss(self.loss, pred, ref, mask, ctx.normalization)
 
     def residuals(self, ctx, traj, tstops):
         """Residual blocks with Σ‖·‖² == __call__ (Gauss–Newton trainer)."""
-        dd = ctx.glacier.dhdt_data
-        if dd is None:
+        pm = self._pred(ctx, traj, tstops)
+        if pm is None:
             return ()
-        h1 = _state_at(traj, tstops, dd.t1)
-        h2 = _state_at(traj, tstops, dd.t2)
-        pred = (h2 - h1) / (dd.t2 - dd.t1)
-        mask = is_in_glacier(h2, self.loss.distance)
-        return (simple_residual(self.loss, pred, dd.dhdt, mask, ctx.normalization),)
+        pred, ref, mask = pm
+        return (simple_residual(self.loss, pred, ref, mask, ctx.normalization),)
 
 
 @dataclass(frozen=True)
@@ -73,10 +83,11 @@ class LossAvgV:
     loss: Any = field(default_factory=L2Sum)
     kind: str = "aggregate"
 
-    def __call__(self, ctx, traj, tstops):
+    def _pred(self, ctx, traj, tstops):
+        """(v_avg, v_ref, mask) or None when no velocity map is attached."""
         vd = ctx.glacier.velocity_data
         if vd is None:
-            return jnp.asarray(0.0)
+            return None
         v_ref = vd.vabs[0] if vd.vabs.ndim == 3 else vd.vabs
         t1 = vd.date1 if vd.date1 is not None else tstops[0]
         t2 = vd.date2 if vd.date2 is not None else tstops[-1]
@@ -88,29 +99,22 @@ class LossAvgV:
         w = dts * mids_in
         w = w / jnp.maximum(jnp.sum(w), 1e-12)
 
-        def speed(H):
-            return ctx.velocity_fn(H, tstops[0])[2]
-
-        speeds = jax.vmap(speed)(traj[1:])
+        speeds = jax.vmap(lambda H: ctx.velocity_fn(H, tstops[0])[2])(traj[1:])
         v_avg = jnp.tensordot(w, speeds, axes=1)
         mask = v_ref > 0.0
+        return v_avg, v_ref, mask
+
+    def __call__(self, ctx, traj, tstops):
+        pm = self._pred(ctx, traj, tstops)
+        if pm is None:
+            return jnp.asarray(0.0)
+        v_avg, v_ref, mask = pm
         return simple_loss(self.loss, v_avg, v_ref, mask, ctx.normalization)
 
     def residuals(self, ctx, traj, tstops):
         """Residual blocks with Σ‖·‖² == __call__ (Gauss–Newton trainer)."""
-        vd = ctx.glacier.velocity_data
-        if vd is None:
+        pm = self._pred(ctx, traj, tstops)
+        if pm is None:
             return ()
-        v_ref = vd.vabs[0] if vd.vabs.ndim == 3 else vd.vabs
-        t1 = vd.date1 if vd.date1 is not None else tstops[0]
-        t2 = vd.date2 if vd.date2 is not None else tstops[-1]
-        t1 = jnp.reshape(jnp.asarray(t1), ())
-        t2 = jnp.reshape(jnp.asarray(t2), ())
-        dts = jnp.diff(tstops)
-        mids_in = (tstops[1:] >= t1) & (tstops[1:] <= t2)
-        w = dts * mids_in
-        w = w / jnp.maximum(jnp.sum(w), 1e-12)
-        speeds = jax.vmap(lambda H: ctx.velocity_fn(H, tstops[0])[2])(traj[1:])
-        v_avg = jnp.tensordot(w, speeds, axes=1)
-        mask = v_ref > 0.0
+        v_avg, v_ref, mask = pm
         return (simple_residual(self.loss, v_avg, v_ref, mask, ctx.normalization),)

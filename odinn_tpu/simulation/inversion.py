@@ -680,6 +680,13 @@ def train_ude(
             n_before = stats.niter
 
             def rec(v, th, gn):
+                if glacier_norm:
+                    # lm_train's v is the NORMALIZED objective; stats.losses
+                    # must stay on one scale across stages (core/params.py:
+                    # "reported losses remain the UN-normalized objective"),
+                    # so re-price the true loss (one forward per LM iter —
+                    # marginal next to the iteration's CG solves)
+                    v = float(jax.jit(loss_fn_b)(th, batch))
                 _record(stats, v, th, gn, 0.0)
                 if callback is not None:
                     callback(stats)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from odinn_tpu.core.glacier import is_in_glacier
+from odinn_tpu.core.glacier import is_in_glacier, loss_normalization
 from odinn_tpu.losses.losses import L2Sum, simple_loss
 from odinn_tpu.physics.sia2d import SIAValues, sia2d_rhs
 from odinn_tpu.physics.targets import ATarget
@@ -68,7 +68,9 @@ def region_split_inversion(
     rmap = jnp.asarray(region_map(glacier.nx, glacier.ny, (rx, ry)))
     onehot = jax.nn.one_hot(rmap, n_regions, dtype=glacier.H0.dtype)  # (nx-1, ny-1, R)
     target = ATarget()
-    npix = float(glacier.H0.size)
+    # pre-padding pixel count (loss_normalization), so a θ handed between
+    # this path and train_ude optimizes the same-weighted objective
+    npix = float(loss_normalization(glacier))
     dts = jnp.diff(tstops)
 
     def a_field_of(theta):

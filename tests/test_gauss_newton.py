@@ -215,3 +215,30 @@ def test_lm_rejects_unsupported_losses():
     resid = make_residual_fn(model, params, tstops)
     with pytest.raises(NotImplementedError, match="grad='jax'"):
         resid(theta, batch)
+
+
+def test_glacier_norm_lm_records_unnormalized_losses():
+    """With gn_glacier_norm=True the LM stage must still record the TRUE
+    (un-normalized) objective into stats.losses, so multi-stage loss traces
+    stay on one scale (regression: normalized ‖r‖² used to be recorded)."""
+    from dataclasses import replace
+
+    params, glaciers, tstops = make_setup(("adam", "lm"), (0.05, 1e-2), (3, 2))
+    params = replace(params, hyper=replace(params.hyper, batch_size=8,
+                                           gn_glacier_norm=True,
+                                           gn_cg_iters=5))
+    model = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
+    # classical per-glacier inversion so LM has least-squares structure
+    from odinn_tpu.laws.laws import LawA_inversion
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    res = run_inversion(inv)
+    L = np.asarray(res.stats.losses)
+    assert L.shape[0] >= 5  # 3 adam records + the LM stage's records
+    # the recorded LM losses continue the Adam stage's scale: no multi-
+    # order-of-magnitude discontinuity from the normalization (the
+    # normalized objective is O(#glaciers) regardless of the loss scale)
+    adam_last, lm_first = L[2], L[3]
+    assert lm_first <= adam_last * 10.0, (adam_last, lm_first)
+    # and the recorded trace is consistent with the final true loss
+    assert res.stats.final_loss <= L.min() * (1 + 1e-6)

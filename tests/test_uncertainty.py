@@ -215,3 +215,36 @@ def test_per_glacier_structure_matches_dense(classical):
     q = lambda th: eval_law(law, th, g0, glacier_idx=0)
     np.testing.assert_allclose(float(fast.std(q)[1]), float(dense.std(q)[1]),
                                rtol=1e-9)
+
+
+def test_per_glacier_structure_respects_glacier_ids(classical):
+    """Permuting the batch rows while routing θ via glacier_ids must leave
+    the posterior invariant — the curvature of batch row g belongs at θ
+    column ids[g], not g (regression: the fast path used to assume
+    identity routing and silently swapped glaciers' variances)."""
+    params, model, batch, theta, tstops, resid = classical
+    kw = dict(sigma2=1.0)
+    base = laplace_posterior(theta, batch, resid, structure="per_glacier",
+                             **kw)
+    perm = np.array([1, 0])
+    batch_p = jax.tree.map(lambda x: x[perm], batch)
+    ids = jnp.asarray(perm)
+    permuted = laplace_posterior(theta, batch_p, resid, glacier_ids=ids,
+                                 structure="per_glacier", **kw)
+    np.testing.assert_allclose(np.asarray(permuted.theta_std()["A"]),
+                               np.asarray(base.theta_std()["A"]), rtol=1e-9)
+    # and it equals the generic dense path under the same routing
+    dense = laplace_posterior(theta, batch_p, resid, glacier_ids=ids, **kw)
+    np.testing.assert_allclose(np.asarray(permuted.theta_std()["A"]),
+                               np.asarray(dense.theta_std()["A"]), rtol=1e-9)
+
+
+def test_sigma2_overparameterized_fallback():
+    """p ≥ N_eff falls back to ‖r‖²/N_eff exactly as documented (it used
+    to clamp dof to 1, inflating σ² by N_eff×)."""
+    from odinn_tpu.inverse.uncertainty import estimate_sigma2
+
+    r = np.array([0.0, 1.0, 2.0, 0.0, 3.0])  # N_eff = 3, ‖r‖² = 14
+    assert np.isclose(estimate_sigma2(r, 1), 14.0 / 2)   # dof = 3 - 1
+    assert np.isclose(estimate_sigma2(r, 3), 14.0 / 3)   # p == N_eff
+    assert np.isclose(estimate_sigma2(r, 50), 14.0 / 3)  # p >> N_eff
