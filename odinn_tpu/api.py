@@ -237,6 +237,13 @@ from odinn_tpu.inverse.uncertainty import (
     laplace_uncertainty,
 )
 
+# multi-start ensemble training (beyond-parity) ------------------------------------
+from odinn_tpu.simulation.ensemble import (
+    MultistartResult,
+    init_restarts,
+    multistart_train,
+)
+
 
 def enable_multiprocessing(params=None, workers: Optional[int] = None,
                            rows: int = 1):

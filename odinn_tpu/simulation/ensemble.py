@@ -1,0 +1,180 @@
+"""Vmapped multi-start (ensemble) training — beyond-parity capability.
+
+Nonconvex UDE inversions are sensitive to the NN initialization: the
+reference trains a single Glorot draw per run (NeuralNetwork.jl:58-61) and
+leans on pretraining when it lands badly (NN_utils.jl:37-139). On TPU the
+restart axis is just one more vmap axis: N complete Adam optimizations run
+as ONE jitted scan over epochs, vmapped over restarts — the MXU/VPU see a
+batch of N·G glacier solves per step, and when a device mesh is registered
+the restart axis shards across it, so N restarts cost roughly the
+wall-clock of one.
+
+Usage::
+
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    ms = multistart_train(inv, n_restarts=8)      # explores; sets inv.theta
+    run_inversion(inv)                            # refines the best start
+
+``multistart_train`` runs the hyperparameters' Adam stages on every restart
+and leaves ``inversion.theta`` at the best final iterate; second-order
+refinement (LBFGS/LM stages) belongs in the follow-up ``run_inversion`` on
+the single winner — curvature stages on N starts would multiply their cost
+for starts that are about to be discarded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+__all__ = ["MultistartResult", "init_restarts", "multistart_train"]
+
+
+@dataclass
+class MultistartResult:
+    """All restarts' trajectories plus the selected winner."""
+
+    thetas: Any                 # θ pytree with leading restart axis (final iterates)
+    losses: np.ndarray          # (n_restarts, total_epochs) per-step losses
+    final_losses: np.ndarray    # (n_restarts,) loss at the final iterate
+    best_idx: int
+    best_loss: float
+    best_theta: Any             # winner's θ (no restart axis)
+
+
+def init_restarts(theta0, n_restarts: int, init_scale: float = 0.5, seed: int = 0):
+    """Stack of ``n_restarts`` initializations with a leading restart axis.
+
+    Restart 0 is ``theta0`` exactly (multistart can never do worse than the
+    single start it replaces); restarts k>0 perturb every leaf with Gaussian
+    noise of std ``init_scale × leaf_scale``, where leaf_scale is the leaf's
+    own std (the natural per-layer scale of a Glorot-initialized NN) or 1.0
+    for constant leaves (zero-initialized biases and raw classical-inversion
+    parameters, where θ is already in tanh-bounded raw space).
+    """
+    leaves, tdef = jax.tree.flatten(theta0)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    out = []
+    for leaf, key in zip(leaves, keys):
+        s = jnp.std(leaf)
+        s = jnp.where(s > 0, s, jnp.asarray(1.0, leaf.dtype))
+        noise = init_scale * s * jax.random.normal(
+            key, (n_restarts,) + leaf.shape, leaf.dtype)
+        noise = noise.at[0].set(0.0)
+        out.append(leaf[None] + noise)
+    return jax.tree.unflatten(tdef, out)
+
+
+def multistart_train(
+    inversion,
+    n_restarts: int = 8,
+    init_scale: float = 0.5,
+    thetas=None,
+    seed: int = 0,
+    mesh=None,
+) -> MultistartResult:
+    """Train every restart through the hyperparameters' Adam stages in one
+    vmapped program; leave ``inversion.theta`` at the best final iterate.
+
+    ``thetas``: optional explicit θ stack (leading restart axis) or list of
+    θ pytrees — e.g. built from ``NeuralNetwork(arch, seed=k)`` draws; by
+    default :func:`init_restarts` jitters the inversion's own θ.
+    ``mesh``: optional device mesh (defaults to the one registered by
+    ``api.enable_multiprocessing``); when ``n_restarts`` is divisible by the
+    mesh size the restart axis is sharded across devices — embarrassingly
+    parallel, no collectives in the hot loop.
+    """
+    from odinn_tpu.simulation.inversion import (
+        Inversion,
+        _make_grad_fn,
+        _stages,
+        assemble_tstops,
+        batch_transient_loss,
+    )
+
+    params = inversion.parameters
+    model = inversion.model
+    batch = inversion.glaciers
+    tstops = assemble_tstops(params, batch)
+
+    stages = _stages(params.hyper)
+    for opt_name, _, _ in stages:
+        if opt_name != "adam":
+            raise ValueError(
+                "multistart_train explores with Adam stages only (got "
+                f"{opt_name!r}); run second-order stages on the winner via "
+                "run_inversion(inversion) afterwards — it warm-starts at the "
+                "best θ this function selects"
+            )
+
+    if thetas is None:
+        thetas = init_restarts(inversion.theta, n_restarts, init_scale, seed)
+    elif isinstance(thetas, (list, tuple)):
+        thetas = jax.tree.map(lambda *xs: jnp.stack(xs), *thetas)
+        n_restarts = jax.tree.leaves(thetas)[0].shape[0]
+    else:
+        n_restarts = jax.tree.leaves(thetas)[0].shape[0]
+
+    def loss_fn_b(theta, b, ids=None):
+        return batch_transient_loss(theta, b, model, params, tstops, ids)
+
+    vg = _make_grad_fn(inversion, loss_fn_b)
+
+    if mesh is None:
+        from odinn_tpu.parallel.mesh import active_mesh
+
+        mesh = active_mesh()
+    if mesh is not None and mesh.size > 1 and n_restarts % mesh.size == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        thetas = jax.device_put(
+            thetas, NamedSharding(mesh, P(axis)))
+        batch = jax.device_put(batch, NamedSharding(mesh, P()))
+
+    loss_curves = []
+    for _, lr, epochs in stages:
+        opt = optax.adam(lr)
+        states = jax.vmap(opt.init)(thetas)
+
+        @jax.jit
+        def stage(thetas, states, b, n=int(epochs), opt=opt):
+            def one(theta, state):
+                def step(carry, _):
+                    th, st = carry
+                    val, grads = vg(th, b)
+                    updates, st = opt.update(grads, st, th)
+                    return (optax.apply_updates(th, updates), st), val
+
+                (th, st), vals = jax.lax.scan(step, (theta, state), None, length=n)
+                return th, st, vals
+
+            return jax.vmap(one)(thetas, states)
+
+        thetas, states, vals = stage(thetas, states, batch)
+        loss_curves.append(vals)
+
+    final = jax.jit(jax.vmap(lambda th, b: loss_fn_b(th, b), in_axes=(0, None)))(
+        thetas, batch)
+    # ONE bulk host transfer at the end (per-step syncs over a tunneled
+    # backend would dominate the wall-clock — see train_ude's rationale)
+    losses, final = jax.device_get(
+        (jnp.concatenate(loss_curves, axis=1), final))
+    losses = np.asarray(losses, np.float64)
+    final = np.asarray(final, np.float64)
+    best = int(np.argmin(final))
+    best_theta = jax.tree.map(lambda x: x[best], thetas)
+    inversion.theta = best_theta
+    return MultistartResult(
+        thetas=thetas,
+        losses=losses,
+        final_losses=final,
+        best_idx=best,
+        best_loss=float(final[best]),
+        best_theta=best_theta,
+    )
