@@ -154,6 +154,48 @@ class LaplacePosterior:
             off += n
         return jax.tree.unflatten(tdef, out)
 
+    def sample(self, n: int, seed: int = 0):
+        """``n`` posterior θ draws as one stacked pytree (leading sample axis,
+        θ's device dtype) — feed to a vmapped forward for predictive
+        ensembles. Requires the dense/per-glacier covariance (the matrix-free
+        path holds no factor; rebuild with a ``dense_threshold ≥ p``)."""
+        if self._cov is None:
+            raise NotImplementedError(
+                "posterior sampling needs the dense covariance — rebuild the "
+                "posterior with dense_threshold >= p (or "
+                "structure='per_glacier' for classical inversions)"
+            )
+        L = np.linalg.cholesky(self._cov)
+        z = np.random.default_rng(seed).standard_normal((n, self._p))
+        flat0 = np.asarray(ravel_pytree(self.theta)[0], np.float64)
+        draws = flat0[None, :] + z @ L.T                     # (n, p), f64
+        leaves, tdef = jax.tree.flatten(self.theta)
+        out, off = [], 0
+        for l in leaves:
+            k = int(np.prod(l.shape)) if l.ndim else 1
+            out.append(jnp.asarray(
+                draws[:, off:off + k].reshape((n,) + l.shape), l.dtype))
+            off += k
+        return jax.tree.unflatten(tdef, out)
+
+    def predictive(self, fn: Callable, n: int = 64, seed: int = 0,
+                   return_samples: bool = False):
+        """Monte-Carlo predictive (mean, std) of ``fn(theta)`` under the
+        posterior — one vmapped evaluation of ``fn`` over ``n`` θ draws.
+
+        The exact nonlinear counterpart of the delta-method :meth:`std`:
+        ``fn`` may run a whole forward solve (ensemble forecasting — the
+        sample axis is one more vmap axis on the TPU). Statistics are
+        computed in numpy float64.
+        """
+        thetas = self.sample(n, seed)
+        vals = jax.jit(jax.vmap(fn))(thetas)
+        v64 = np.asarray(vals, np.float64)
+        mean, std = v64.mean(axis=0), v64.std(axis=0, ddof=1)
+        if return_samples:
+            return mean, std, v64
+        return mean, std
+
 
 def _finish_dense(theta, p, sigma2, prior_precision, JtJ64):
     """Assemble H = JᵀJ/σ² + prior, invert in f64, return the posterior."""

@@ -248,3 +248,31 @@ def test_sigma2_overparameterized_fallback():
     assert np.isclose(estimate_sigma2(r, 1), 14.0 / 2)   # dof = 3 - 1
     assert np.isclose(estimate_sigma2(r, 3), 14.0 / 3)   # p == N_eff
     assert np.isclose(estimate_sigma2(r, 50), 14.0 / 3)  # p >> N_eff
+
+
+def test_posterior_sampling_and_predictive(classical):
+    """sample(): empirical covariance of draws matches Σ; predictive():
+    MC std of a LINEAR quantity matches the delta-method std (they are
+    exactly equal in distribution for linear maps)."""
+    params, model, batch, theta, tstops, resid = classical
+    post = laplace_posterior(theta, batch, resid, sigma2=1.0)
+
+    draws = post.sample(4000, seed=42)
+    emp = np.cov(np.stack([np.ravel(np.asarray(draws["A"][:, i], np.float64))
+                           for i in range(2)]), ddof=1)
+    np.testing.assert_allclose(emp, post._cov, atol=5e-2 * np.max(post._cov)
+                               + 1e-12)
+
+    # linear quantity: MC predictive std ≈ delta-method std
+    w = jnp.asarray([0.7, -0.3])
+    q = lambda th: jnp.sum(w * th["A"])
+    _, sd_delta = post.std(q)
+    mean, sd_mc = post.predictive(q, n=4000, seed=7)
+    assert abs(sd_mc - sd_delta) / sd_delta < 0.1
+    # predictive through a real forward solve: finite, positive
+    from odinn_tpu.simulation.prediction import forward_batch
+
+    vol = lambda th: jnp.sum(forward_batch(th, batch, model, params,
+                                           tstops)[:, -1])
+    m, s = post.predictive(vol, n=8, seed=1)
+    assert np.isfinite(m) and np.isfinite(s) and s > 0
