@@ -167,6 +167,11 @@ class UDEParameters:
                        (TPU-native equivalent of SciMLSensitivityAdjoint)
       - "discrete"   — hand-written discrete adjoint (reverse Euler over tstops)
       - "continuous" — continuous adjoint with Gauss-quadrature θ contraction
+      - "forward"    — forward-mode (tangent) gradients, beyond-parity: one
+                       jvp per θ leaf via the per-glacier block structure.
+                       Per-glacier SCALAR θ only (classical inversions);
+                       O(1) memory in the time horizon — no reverse pass,
+                       no trajectory storage
       - "dummy"      — DummyAdjoint for pipeline testing
     """
 

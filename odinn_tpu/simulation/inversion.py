@@ -382,6 +382,57 @@ def _make_grad_fn(inversion: Inversion, loss_fn_b):
             return val, grads
 
         return vg
+    if name == "forward":
+        # Forward-mode (tangent) gradients — beyond-parity path for classical
+        # per-glacier inversions. Each glacier's loss depends ONLY on its own
+        # θ slice (per-glacier laws route by glacier_idx), so ONE jvp per θ
+        # leaf — tangent 1 on every glacier simultaneously, read off the
+        # per-glacier loss vector's tangents — recovers the exact gradient.
+        # No reverse pass, no trajectory storage: O(1) memory in the time
+        # horizon (a century-scale solve differentiates in the forward
+        # solve's own footprint, where reverse-mode needs the saved
+        # trajectory or rematerialization).
+        model = inversion.model
+        params = inversion.parameters
+        tstops = assemble_tstops(params, inversion.glaciers)
+
+        def vg(theta, b, ids=None):
+            n = b.H0.shape[0]
+            idxs = ids if ids is not None else jnp.arange(n)
+            leaves, tdef = jax.tree.flatten(theta)
+            for x in leaves:
+                if x.ndim != 1:
+                    raise ValueError(
+                        "grad='forward' requires per-glacier SCALAR θ leaves "
+                        f"of shape (n_glaciers,), got {x.shape}: it reads the "
+                        "gradient off per-glacier loss tangents, which only "
+                        "resolves one component per glacier per leaf. Use "
+                        "classical inversion laws (LawA_inversion/"
+                        "LawC_inversion/LawN_inversion); gridded or NN θ "
+                        "needs a reverse-mode path (grad='jax'/'discrete'/"
+                        "'continuous')."
+                    )
+
+            def losses_of(th):
+                ls, _ = jax.vmap(
+                    lambda g, i: glacier_transient_loss(th, g, i, model, params, tstops)
+                )(b, idxs)
+                return ls
+
+            val = None
+            grads = []
+            for l in range(len(leaves)):
+                tangent = jax.tree.unflatten(tdef, [
+                    jnp.ones_like(x) if i == l else jnp.zeros_like(x)
+                    for i, x in enumerate(leaves)])
+                primal, jv = jax.jvp(losses_of, (theta,), (tangent,))
+                if val is None:
+                    val = jnp.sum(primal)
+                # batch row g contributes at θ index idxs[g]; duplicates add
+                grads.append(jnp.zeros_like(leaves[l]).at[idxs].add(jv))
+            return val, jax.tree.unflatten(tdef, grads)
+
+        return vg
     if name == "dummy":
         # DummyAdjoint (/root/reference/src/inverse/AdjointTypes.jl:80-107):
         # pipeline testing with a random (or user-supplied) gradient.

@@ -234,3 +234,47 @@ def test_gridded_A_gradient_masked_subset_vs_fd(setup):
         np.abs(flat_g[subset]) + 1e-30
     )
     assert rel.max() < 1e-8, f"manual vs AD gridded subset max rel {rel.max():.2e}"
+
+
+def test_forward_mode_gradient_matches_ad():
+    """grad='forward' (one jvp per θ leaf, per-glacier block structure,
+    O(1) memory in the time horizon) equals reverse-mode AD exactly."""
+    import dataclasses
+
+    from odinn_tpu.laws.laws import LawA_inversion
+    from odinn_tpu.simulation.inversion import _make_grad_fn, assemble_tstops
+
+    tspan = (5.0, 5.5)
+    params = Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=tspan, use_MB=False),
+        solver=SolverParameters(step=1.0 / 12.0, substeps=12),
+        hyper=Hyperparameters(),
+        UDE=UDEParameters(grad="forward"),
+    )
+    glaciers = [
+        halfar_glacier(nx=32, ny=32, dx=130.0, temp=-15.0, rgi_id="f0"),
+        halfar_glacier(nx=32, ny=32, dx=130.0, temp=-22.0, rgi_id="f1"),
+    ]
+    tstops = build_tstops(tspan, params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=CuffeyPaterson()))
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    theta = jax.tree.map(lambda x: x + 0.08, inv.theta)
+
+    vg_fwd = _make_grad_fn(inv, None)
+    val_f, g_f = jax.jit(vg_fwd)(theta, inv.glaciers)
+
+    tst = assemble_tstops(params, inv.glaciers)
+    loss = lambda th: batch_transient_loss(th, inv.glaciers, model, params, tst)
+    val_r, g_r = jax.jit(jax.value_and_grad(loss))(theta)
+
+    np.testing.assert_allclose(float(val_f), float(val_r), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_f["A"]), np.asarray(g_r["A"]),
+                               rtol=1e-9)
+
+    # NN/gridded θ is rejected with a remedy
+    bad_theta = {"A": jnp.zeros((2, 4, 4))}
+    with pytest.raises(ValueError, match="per-glacier SCALAR"):
+        vg_fwd(bad_theta, inv.glaciers)
