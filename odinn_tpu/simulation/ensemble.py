@@ -32,7 +32,20 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-__all__ = ["MultistartResult", "init_restarts", "multistart_train"]
+__all__ = ["MultistartResult", "init_restarts", "multistart_train", "select_best"]
+
+
+def select_best(final_losses: np.ndarray) -> int:
+    """Index of the best restart, nan-safe: a diverged restart (non-finite
+    final loss) must never win (plain ``np.argmin`` returns the first NaN
+    index). Raises if every restart diverged."""
+    final = np.asarray(final_losses, np.float64)
+    if not np.isfinite(final).any():
+        raise FloatingPointError(
+            "every restart diverged to a non-finite loss — lower the Adam "
+            "learning rate or init_scale"
+        )
+    return int(np.argmin(np.where(np.isfinite(final), final, np.inf)))
 
 
 @dataclass
@@ -167,7 +180,7 @@ def multistart_train(
         (jnp.concatenate(loss_curves, axis=1), final))
     losses = np.asarray(losses, np.float64)
     final = np.asarray(final, np.float64)
-    best = int(np.argmin(final))
+    best = select_best(final)
     best_theta = jax.tree.map(lambda x: x[best], thetas)
     inversion.theta = best_theta
     return MultistartResult(

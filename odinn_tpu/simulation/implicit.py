@@ -103,7 +103,8 @@ def _jacobi_diag(D, dt, dx, dy, interior):
     return 1.0 + dt * interior * st.pad_inner(sx + sy)
 
 
-def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int = 30):
+def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int = 30,
+                       x0=None):
     """One semi-implicit step of length dt (unconditionally stable).
 
     The operator masks its input to the interior as well as its output
@@ -134,13 +135,18 @@ def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int 
     inv_diag = 1.0 / _jacobi_diag(D, dt, dx, dy, interior)
     precond = lambda r: r * inv_diag
 
-    # forward CG warm-starts at H (the solution is an O(dt) perturbation of
-    # it); the transpose solve's solution is cotangent-sized, so it must NOT
-    # start at H — warm-start at the rhs itself (A = I − dt·L ⇒ x ≈ rhs)
+    # forward CG warm-starts at x0 (default H — the solution is an O(dt)
+    # perturbation of it; integrate_semi_implicit passes the time-extrapolated
+    # guess 2H−H_prev, an O(dt²) start that buys ~2 CG iterations). The
+    # guess only seeds the primal recursion: custom_linear_solve treats the
+    # result as the exact solve, so no gradient flows through x0. The
+    # transpose solve's solution is cotangent-sized, so it must NOT start at
+    # H — warm-start at the rhs itself (A = I − dt·L ⇒ x ≈ rhs).
+    guess = H if x0 is None else x0
     H_new = lax.custom_linear_solve(
         matvec,
         b,
-        solve=lambda mv, rhs: _cg(mv, rhs, H, cg_iters, precond),
+        solve=lambda mv, rhs: _cg(mv, rhs, guess, cg_iters, precond),
         transpose_solve=lambda mv, rhs: _cg(mv, rhs, rhs, cg_iters, precond),
         symmetric=True,
     )
@@ -166,19 +172,30 @@ def integrate_semi_implicit(
     t0s, t1s = tstops[:-1], tstops[1:]
     idxs = jnp.arange(t0s.shape[0])
 
-    def interval(H, xs):
+    # CG warm-start extrapolation state rides the carry: dH = the previous SI
+    # step's increment and dt_prev its length, giving the O(dt²) initial guess
+    # x0 = H + dH·(dt/dt_prev) (≡ 2H − H_prev on uniform grids; the ratio
+    # guards non-uniform data-driven tstops, where an unscaled delta could
+    # overshoot). Callback jumps (monthly MB) are deliberately NOT folded into
+    # dH — they are not part of the smooth evolution being extrapolated.
+    def interval(carry, xs):
+        H, dH, dt_prev = carry
         t0, t1, i = xs
         dt = (t1 - t0) / substeps
 
-        def sub(Hc, _):
-            return semi_implicit_step(Hc, B, dx, dy, values_fn, target, phys, dt,
-                                      cg_iters), None
+        def sub(c, _):
+            Hc, dHc, dtp = c
+            ratio = jnp.where(dtp > 0, dt / jnp.maximum(dtp, 1e-300), 0.0)
+            Hn = semi_implicit_step(Hc, B, dx, dy, values_fn, target, phys, dt,
+                                    cg_iters, x0=Hc + ratio * dHc)
+            return (Hn, Hn - Hc, dt), None
 
-        H, _ = lax.scan(sub, H, None, length=substeps)
+        (H, dH, dt_prev), _ = lax.scan(sub, (H, dH, dt_prev), None, length=substeps)
         if callback is not None:
             H = callback(H, t0, t1, i)
-        return H, H
+        return (H, dH, dt_prev), H
 
     body = jax.checkpoint(interval) if checkpoint else interval
-    _, traj = lax.scan(body, H0, (t0s, t1s, idxs))
+    zero_dt = jnp.asarray(0.0, tstops.dtype)
+    _, traj = lax.scan(body, (H0, jnp.zeros_like(H0), zero_dt), (t0s, t1s, idxs))
     return jnp.concatenate([H0[None], traj], axis=0)

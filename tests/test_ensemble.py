@@ -122,6 +122,18 @@ def test_nn_seed_ensemble(setup):
     assert np.all(ms.losses[:, -1] < ms.losses[:, 0])
 
 
+def test_diverged_restart_never_wins():
+    # nan-safe winner selection: np.argmin([nan, 1.0]) returns 0 (the NaN);
+    # select_best must skip non-finite restarts and raise when all diverged
+    from odinn_tpu.simulation.ensemble import select_best
+
+    assert select_best([np.nan, 1.0]) == 1
+    assert select_best([1.0, np.nan]) == 0
+    assert select_best([np.inf, 3.0, 2.0, np.nan]) == 2
+    with pytest.raises(FloatingPointError, match="diverged"):
+        select_best([np.nan, np.inf])
+
+
 def test_non_adam_stage_raises(setup):
     params, glaciers = setup
     params = _params(optimizer=("adam", "lbfgs"), lr=(0.08, 1.0), epochs=(3, 3))
