@@ -5,9 +5,9 @@ Mirrors the reference's headline number — "Forward Prediction, 4 glaciers,
 /root/reference/docs/src/forward_simulation.jl:133) — on the TPU-native
 vmapped solve: 4 Halfar glaciers, 5 years, monthly saves with monthly
 mass-balance application, 128×128 grids, float32, semi-implicit solver
-(Jacobi-PCG, cg_iters=12: final H within 4e-7 of the cg=60-converged
-trajectory — measured sweep in STATUS.md, well inside the 1e-5 H-parity
-north star).
+(Jacobi-PCG with time-extrapolated warm starts, cg_iters=10: final H within
+2.0e-6 of the cg=60-converged trajectory — measured sweep in STATUS.md, 5×
+inside the 1e-5 H-parity north star).
 
 Methodology — chained-dispatch slope. This dev harness reaches its single
 TPU chip through an RPC tunnel whose dispatch+sync round trip is ~28 ms,
@@ -64,9 +64,9 @@ def main():
             float_dtype="float32",
         ),
         # semi-implicit solver: one unconditionally-stable step per monthly
-        # save interval; Jacobi-PCG at 12 iterations (H within 4e-7 of the
-        # converged solve — see module docstring)
-        solver=SolverParameters(step=1.0 / 12.0, substeps=1, solver="SI", cg_iters=12),
+        # save interval; warm-started Jacobi-PCG at 10 iterations (H within
+        # 2.0e-6 of the converged solve — see module docstring)
+        solver=SolverParameters(step=1.0 / 12.0, substeps=1, solver="SI", cg_iters=10),
         UDE=UDEParameters(grad="jax"),
     )
 
