@@ -87,13 +87,28 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"XLA {nx}² n_g={n_g} failed: {e}", flush=True)
                 continue
+            from odinn_tpu.ops.pallas.rkc_kernel import unsupported_reason
+
+            reason = unsupported_reason(nx, nx, g_block)
+            if reason is not None:
+                # the kernel refuses this shape up front (512² g_block=1
+                # Mosaic broadcast limit / VMEM budget) — record the reason,
+                # never a NaN row
+                row = {"nx": nx, "n_g": n_g, "g_block": g_block,
+                       "stages": s_stages, "skipped": reason}
+                results.append(row)
+                print(json.dumps(row), flush=True)
+                continue
             try:
                 t_p = time_chained(pall_fn, H, B, scal)
                 err = float(jnp.max(jnp.abs(
                     jax.jit(pall_fn)(H, B, scal) - jax.jit(xla_fn)(H, B, scal))))
             except Exception as e:  # noqa: BLE001
                 print(f"Pallas {nx}² n_g={n_g} g_block={g_block} failed: {e}", flush=True)
-                t_p, err = float("nan"), float("nan")
+                row = {"nx": nx, "n_g": n_g, "g_block": g_block,
+                       "stages": s_stages, "skipped": f"{type(e).__name__}: {e}"}
+                results.append(row)
+                continue
 
             # FLOP model: the fused RHS is ~70 flops/cell; s+1 evaluations
             # per interval + ~10 flops/cell/stage of axpy updates.

@@ -49,7 +49,7 @@ def main():
     )
     from odinn_tpu.inverse.gradient import make_adjoint_value_and_grad
     from odinn_tpu.laws.laws import CuffeyPaterson, LawA
-    from odinn_tpu.models.model import Model, SIA2DModel, init_theta
+    from odinn_tpu.models.model import Model, SIA2DModel
     from odinn_tpu.models.nn import NeuralNetwork, default_architecture
     from odinn_tpu.simulation.inversion import Inversion, batch_transient_loss
     from odinn_tpu.simulation.prediction import forward_batch, generate_ground_truth
@@ -136,18 +136,32 @@ def main():
         "solvers": {},
     }
 
+    out = os.path.join(os.path.dirname(__file__), "solver_sweep_result.json")
+
+    def write_results():
+        # incremental: a failure mid-sweep must not lose measured rows
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+
     print("\n| solver | substeps/month | forward (ms) | max rel H err vs oracle |")
     print("|---|---|---|---|")
     for name, sub in SOLVERS:
-        p = make_params(name, sub)
-        Hf = np.asarray(forward_batch(None, batch, truth, p, tstops)[:, -1])
-        err = float(np.abs(Hf - H_ref).max() / scale)
-        t_fwd = slope(lambda K, p=p: chained_forward(p, K), 20, 60)
+        try:
+            p = make_params(name, sub)
+            Hf = np.asarray(forward_batch(None, batch, truth, p, tstops)[:, -1])
+            err = float(np.abs(Hf - H_ref).max() / scale)
+            t_fwd = slope(lambda K, p=p: chained_forward(p, K), 20, 60)
+        except Exception as e:  # record-and-continue, like the gradient combos
+            results["solvers"][name] = {"substeps": sub, "error": f"{e}"}
+            print(f"| {name} | {sub} | failed ({type(e).__name__}) | - |")
+            write_results()
+            continue
         results["solvers"][name] = {
             "substeps": sub, "forward_s": t_fwd, "max_rel_H_err": err,
             "gradients": {},
         }
         print(f"| {name} | {sub} | {t_fwd*1e3:.2f} | {err:.2e} |")
+        write_results()
 
     # gradient paths on the UDE (NN LawA), per solver. To keep the 15-combo
     # sweep's compile budget sane on the tunneled chip, gradient rows use a
@@ -173,6 +187,8 @@ def main():
     print("\n| solver | grad path | loss+grad (ms) |")
     print("|---|---|---|")
     for name, sub in SOLVERS:
+        if "gradients" not in results["solvers"].get(name, {}):
+            continue  # forward phase failed for this solver
         for gname, grad in GRADS:
             p = make_params(name, sub, grad=grad)
             p = p.replace(
@@ -200,8 +216,10 @@ def main():
                             body, jnp.asarray(0.0, jnp.float32), None, length=K
                         )[0]
                 else:
+                    # time the SAME f32 inputs as the "jax" path (gbatch):
+                    # under jax_enable_x64 the raw batch would silently be f64
                     inv2 = Inversion(
-                        model=model, glaciers=inv.glaciers, parameters=p, theta=theta
+                        model=model, glaciers=gbatch, parameters=p, theta=theta
                     )
                     vg_m = make_adjoint_value_and_grad(inv2, flavor=grad.name)
 
@@ -222,10 +240,9 @@ def main():
             except Exception as e:  # unsupported combo: record, don't die
                 results["solvers"][name]["gradients"][gname] = f"unsupported: {e}"
                 print(f"| {name} | {gname} | unsupported ({type(e).__name__}) |")
+            write_results()
 
-    out = os.path.join(os.path.dirname(__file__), "solver_sweep_result.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+    write_results()
     print(f"\nwrote {out}")
 
 

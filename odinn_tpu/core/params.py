@@ -90,16 +90,24 @@ class SolverParameters:
     """Time-integration configuration.
 
     Mirrors Huginn.SolverParameters (/root/reference/test/params_construction.jl:5-13).
-    The reference defaults to the adaptive RDPK3Sp35 solver; the TPU-native default
-    is a fixed-shape embedded RK pair driven by `lax.scan`/`lax.while_loop`
-    (see odinn_tpu.simulation.solver).
+    The reference defaults to the adaptive RDPK3Sp35 solver at ``reltol``
+    (inversion_utils.jl:559-568); here ``reltol`` is honored two ways:
+
+    - ``adaptive=True``: the error-controlled BS3(2) integrator at
+      rtol = atol = reltol (forward-only — Prediction/ground truth; the
+      while_loop has no reverse rule, so train_ude rejects it loudly).
+    - ``substeps="auto"``: one adaptive probe solve calibrates the fixed
+      substep count from reltol, which then drives the differentiable
+      ``lax.scan`` solve — the tolerance knob governing training too
+      (odinn_tpu.simulation.prediction.calibrate_substeps).
     """
 
     solver: str = "RK4"             # "RK4" | "SSPRK3" | "Euler" | "RKC" (stabilized
                                     # Chebyshev) | "SI" (semi-implicit, unconditionally stable)
     reltol: float = 1e-8
     step: float = 1.0 / 12.0        # save/callback step (tstop spacing) [yr]
-    substeps: int = 20              # fixed substeps per tstop interval (scan path)
+    substeps: Union[int, str] = 20  # fixed substeps per tstop interval (scan
+                                    # path); "auto" calibrates from reltol
     rkc_stages: int = 16            # stage count for the RKC stabilized stepper
     cg_iters: int = 30              # CG iterations for the semi-implicit solver
     save_everystep: bool = False
@@ -107,7 +115,7 @@ class SolverParameters:
     progress: bool = False
     progress_steps: int = 10
     maxiters: int = 50_000
-    adaptive: bool = False          # adaptive while_loop path (forward-only)
+    adaptive: bool = False          # error-controlled while_loop path (forward-only)
     remat: bool = True              # rematerialize intervals in reverse-mode
                                     # (O(n_tstops) memory); False trades memory
                                     # for backward speed on small problems
@@ -120,10 +128,12 @@ class Hyperparameters:
     Mirrors /root/reference/src/parameters/Hyperparameters.jl:18-81. ``optimizer``
     and ``epochs`` may be sequences for staged training (e.g. ADAM→LBFGS with
     warm-started θ, /root/reference/src/simulations/inversions/inversion_utils.jl:37-59).
+    The reference's mutable ``current_epoch``/``current_minibatch`` progress
+    counters have no analogue here: config is frozen (jit closure constants);
+    run progress lives in :class:`~odinn_tpu.simulation.results.TrainingStats`
+    (``niter``).
     """
 
-    current_epoch: int = 1
-    current_minibatch: int = 1
     optimizer: Union[str, Tuple[str, ...]] = "lbfgs"
     learning_rate: Union[float, Tuple[float, ...]] = 1e-3
     epochs: Union[int, Tuple[int, ...]] = 50

@@ -175,6 +175,35 @@ def rkc_interval_pallas(H, B, scalars, dt, s, eta0, exps=(5.0, 2.0, 4.0, 2.0)):
     return _forward(H, B, scalars, dt, s, eta0, exps)
 
 
+def unsupported_reason(nx, ny, g_block, itemsize=4):
+    """Why the whole-grid kernel cannot compile at this shape on real TPU
+    (None if supported). Two hard limits, checked up front so callers get a
+    clear error instead of an opaque Mosaic failure or a silent NaN row:
+
+    - VMEM: each program holds ~7 live (g_block, nx, ny) stage arrays; past
+      ~12 MB usable VMEM Mosaic cannot allocate the block.
+    - g_block == 1 at grids ≥ 512²: Mosaic refuses the (1, nx−1, ny)-shaped
+      scalar broadcast ("Broadcast in both sublanes and lanes") — see
+      docs/pallas_kernels.md. A spatially-blocked kernel with halo exchange
+      would be needed; the XLA path (measured at parity) covers this regime.
+    """
+    vmem = 7 * g_block * nx * ny * itemsize
+    if vmem > 12e6:
+        return (
+            f"whole-grid RKC kernel needs ~{vmem / 1e6:.1f} MB VMEM at "
+            f"g_block={g_block}, {nx}x{ny} (budget ~12 MB); lower g_block or "
+            f"use the XLA path (odinn_tpu.simulation.solver, measured at "
+            f"parity — docs/pallas_kernels.md)"
+        )
+    if g_block == 1 and nx * ny >= 512 * 512:
+        return (
+            f"whole-grid RKC kernel unsupported at {nx}x{ny} with g_block=1: "
+            "Mosaic refuses the (1, nx-1, ny) scalar broadcast at this size "
+            "(docs/pallas_kernels.md); use the XLA path for >=512^2 grids"
+        )
+    return None
+
+
 def _forward(H, B, scalars, dt, s, eta0, exps=(5.0, 2.0, 4.0, 2.0), g_block=None):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -191,6 +220,10 @@ def _forward(H, B, scalars, dt, s, eta0, exps=(5.0, 2.0, 4.0, 2.0), g_block=None
         return rkc_interval_reference(H, B, scalars, dt, s, eta0, exps)
     if interpret and n_g % g_block != 0:
         g_block = 1
+    if not interpret:
+        reason = unsupported_reason(nx, ny, g_block, H.dtype.itemsize)
+        if reason is not None:
+            raise ValueError(reason)
     mu, nu, mu_t, gam_t, mu1_t = _make_coeff_arrays(s, H.dtype)
     coef = jnp.stack(
         [mu, nu, mu_t, gam_t, jnp.full_like(mu, mu1_t)], axis=0

@@ -149,6 +149,14 @@ def _forward_impl(H, B, scalars, rho, g, eta0):
 
     n_g, nx, ny = H.shape
     interpret = jax.default_backend() not in ("tpu", "axon")
+    if not interpret:
+        from odinn_tpu.ops.pallas.rkc_kernel import unsupported_reason
+
+        # one glacier per program (g_block = 1): same Mosaic shape limits as
+        # the RKC kernel — fail with the remedy instead of an opaque error
+        reason = unsupported_reason(nx, ny, 1, H.dtype.itemsize)
+        if reason is not None:
+            raise ValueError(reason.replace("RKC kernel", "RHS kernel"))
     # derive prefactors/exponents outside the kernel (scalar transcendentals
     # are XLA prologue ops; Mosaic only sees vector exp/log)
     dx, dy, A, C, n, p, q = (scalars[:, i] for i in range(7))

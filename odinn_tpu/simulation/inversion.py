@@ -478,6 +478,21 @@ def train_ude(
     batch = inversion.glaciers
     tstops = assemble_tstops(params, batch)
     theta = inversion.theta
+    if params.solver.adaptive:
+        raise ValueError(
+            "solver.adaptive error-controlled integration is forward-only "
+            "(lax.while_loop has no reverse-mode rule) — it serves "
+            "Prediction/generate_ground_truth. For training, either set "
+            "fixed solver.substeps/rkc_stages/cg_iters, or set "
+            "substeps='auto' to calibrate fixed substeps from solver.reltol "
+            "via one adaptive probe solve (with adaptive=False)."
+        )
+    if params.solver.substeps == "auto":
+        from odinn_tpu.simulation.prediction import resolve_substeps
+
+        params = resolve_substeps(params, batch, model, theta, tstops)
+        # the adjoint drivers and create_results read inversion.parameters
+        inversion.parameters = params
     orig_batch = batch
     n_results = batch.H0.shape[0]
 
@@ -661,34 +676,44 @@ def train_ude(
             if ls_name == "auto":
                 th_dt = jnp.result_type(jax.tree.leaves(theta)[0])
                 ls_name = "zoom" if th_dt == jnp.float64 else "backtracking"
-            if ls_name == "zoom":
-                ls = optax.scale_by_zoom_linesearch(max_linesearch_steps=20)
-            elif ls_name == "backtracking":
-                # Armijo backtracking: monotone step shrinking — cannot hang
-                # where zoom's f32 bracketing collapses (see Hyperparameters)
-                ls = optax.scale_by_backtracking_linesearch(
-                    max_backtracking_steps=30, store_grad=True
-                )
+            # like the Adam machinery, the LBFGS step is built ONCE per
+            # linesearch flavor and shared across stages — a repeated-LBFGS
+            # ladder otherwise re-jits the identical fwd+grad+linesearch
+            # program every stage
+            cache_key = ("lbfgs", ls_name)
+            if cache_key in _shared_steps:
+                opt, lbfgs_step = _shared_steps[cache_key]
             else:
-                raise ValueError(
-                    f"hyper.lbfgs_linesearch must be 'auto', 'zoom', or "
-                    f"'backtracking', got {ls_name!r}"
-                )
-            opt = optax.lbfgs(linesearch=ls)
+                if ls_name == "zoom":
+                    ls = optax.scale_by_zoom_linesearch(max_linesearch_steps=20)
+                elif ls_name == "backtracking":
+                    # Armijo backtracking: monotone step shrinking — cannot hang
+                    # where zoom's f32 bracketing collapses (see Hyperparameters)
+                    ls = optax.scale_by_backtracking_linesearch(
+                        max_backtracking_steps=30, store_grad=True
+                    )
+                else:
+                    raise ValueError(
+                        f"hyper.lbfgs_linesearch must be 'auto', 'zoom', or "
+                        f"'backtracking', got {ls_name!r}"
+                    )
+                opt = optax.lbfgs(linesearch=ls)
+
+                @jax.jit
+                def lbfgs_step(theta, state, best_val, best_theta, b):
+                    val, grads = vg(theta, b)
+                    best_val, best_theta = _step_best(val, theta, best_val, best_theta)
+                    updates, state = opt.update(
+                        grads, state, theta, value=val, grad=grads,
+                        value_fn=lambda th: loss_fn_b(th, b),
+                    )
+                    return (optax.apply_updates(theta, updates), state,
+                            best_val, best_theta, val, optax.global_norm(grads))
+
+                _shared_steps[cache_key] = (opt, lbfgs_step)
             state = opt.init(theta)
 
             _init_best(theta)
-
-            @jax.jit
-            def lbfgs_step(theta, state, best_val, best_theta, b):
-                val, grads = vg(theta, b)
-                best_val, best_theta = _step_best(val, theta, best_val, best_theta)
-                updates, state = opt.update(
-                    grads, state, theta, value=val, grad=grads,
-                    value_fn=lambda th: loss_fn_b(th, b),
-                )
-                return (optax.apply_updates(theta, updates), state,
-                        best_val, best_theta, val, optax.global_norm(grads))
 
             pending, t_stage = [], time.time()
             for it in range(epochs):
@@ -826,15 +851,19 @@ def _record(stats: TrainingStats, val, theta, gnorm, dt):
 
 def run_inversion(inversion: Inversion, callback=None,
                   path: Optional[str] = None,
-                  file_name: Optional[str] = None) -> Results:
+                  file_name: Optional[str] = None,
+                  mesh=None) -> Results:
     """``run!(::Inversion)`` equivalent (inversion_utils.jl:21-88).
 
     With ``path``/``file_name`` set, the trained result is auto-saved as a
     :class:`~odinn_tpu.utils.io.TrainingResult` — the reference's
     run!-embedded persistence (``run!(inversion; path, file_name)``,
     /root/reference/test/inversion_test.jl:110-122).
+
+    ``mesh`` passes through to :func:`train_ude` (defaults to the session
+    mesh registered by ``api.enable_multiprocessing``).
     """
-    results = train_ude(inversion, callback=callback)
+    results = train_ude(inversion, callback=callback, mesh=mesh)
     if path is not None or file_name is not None:
         import os
 

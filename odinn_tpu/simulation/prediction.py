@@ -26,7 +26,9 @@ from odinn_tpu.physics.mass_balance import mb_timestep
 from odinn_tpu.physics.sia2d import sia2d_rhs, v_from_h
 from odinn_tpu.simulation.solver import build_tstops, integrate_scan
 
-__all__ = ["forward_glacier", "forward_batch", "Prediction", "run_prediction", "generate_ground_truth"]
+__all__ = ["forward_glacier", "forward_batch", "calibrate_substeps",
+           "resolve_substeps", "Prediction", "run_prediction",
+           "generate_ground_truth"]
 
 
 def _mb_every(params) -> int:
@@ -43,6 +45,7 @@ def forward_glacier(
     params,
     tstops,
     H0=None,
+    _return_stats: bool = False,
 ):
     """Solve one glacier over ``tstops``; returns the trajectory (T, nx, ny).
 
@@ -51,6 +54,15 @@ def forward_glacier(
     outer laws evaluated at solve start, inner laws per RHS call, MB applied
     at every ``step_MB`` interval end. Differentiable end to end (the scan
     path), including through the MB application.
+
+    With ``params.solver.adaptive`` the solve is the error-controlled BS3(2)
+    integrator at ``rtol = atol = params.solver.reltol`` — the reference's
+    default adaptive forward solve (``reltol = params.solver.reltol``,
+    inversion_utils.jl:559-568). Forward-only (``lax.while_loop`` has no
+    reverse rule); training paths either use fixed substeps or calibrate them
+    from ``reltol`` via ``substeps="auto"`` (:func:`calibrate_substeps`).
+    ``_return_stats`` (adaptive only) additionally returns per-interval
+    accepted step counts.
     """
     phys = params.physical
     t0 = tstops[0]
@@ -82,6 +94,28 @@ def forward_glacier(
 
     periodic = model.iceflow.periodic_laws
     method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler", "RKC", "SI") else "RK4"
+    if params.solver.adaptive:
+        if periodic:
+            raise NotImplementedError(
+                "solver.adaptive does not support periodic laws "
+                "(callback_freq > 0): their values ride the fixed-shape scan "
+                "carry; use a fixed-substep solver for periodic-law models"
+            )
+        from odinn_tpu.simulation.solver import integrate_adaptive
+
+        return integrate_adaptive(
+            rhs, H0, tstops,
+            rtol=params.solver.reltol, atol=params.solver.reltol,
+            callback=callback, return_stats=_return_stats,
+        )
+    if isinstance(params.solver.substeps, str):
+        raise ValueError(
+            "solver.substeps='auto' must be resolved before the jitted solve "
+            "— train_ude/run_prediction do it automatically; when driving "
+            "forward_glacier directly, call "
+            "odinn_tpu.simulation.prediction.resolve_substeps(params, batch, "
+            "model, theta, tstops) first"
+        )
     if method == "SI" and not periodic:
         # unconditionally stable semi-implicit path (no CFL sizing needed)
         from odinn_tpu.simulation.implicit import integrate_semi_implicit
@@ -162,6 +196,54 @@ def forward_glacier(
     return jnp.concatenate([H0[None], traj], axis=0)
 
 
+def calibrate_substeps(theta, batch, model, params, tstops, safety: float = 1.5):
+    """Size the fixed-shape integrators from ``solver.reltol``: run ONE
+    adaptive, error-controlled forward per glacier (BS3(2) at
+    rtol = atol = reltol) and return ``ceil(safety × max accepted steps per
+    save interval)`` over all glaciers and intervals.
+
+    This is how ``substeps="auto"`` makes the reference's tolerance knob
+    (``reltol = params.solver.reltol``, inversion_utils.jl:559-568) govern the
+    differentiable training path too: the while_loop integrator cannot be
+    reverse-differentiated, but its accepted step count transfers the error
+    control onto the fixed ``lax.scan`` solve (same-order SSPRK3/RK4 at
+    uniform dt ≤ the adaptive max dt, with ``safety`` absorbing the
+    uniform-vs-adaptive step-distribution mismatch). One extra forward solve
+    per training run — amortized over every epoch.
+    """
+    import math
+
+    p_ad = params.replace(
+        solver=dataclasses.replace(params.solver, adaptive=True)
+    )
+    idxs = jnp.arange(batch.H0.shape[0])
+    _, naccs = jax.jit(jax.vmap(
+        lambda g, i: forward_glacier(theta, g, i, model, p_ad, tstops,
+                                     _return_stats=True)
+    ))(batch, idxs)
+    return max(int(math.ceil(float(jnp.max(naccs)) * safety)), 1)
+
+
+def resolve_substeps(params, batch, model, theta, tstops):
+    """Resolve ``solver.substeps == "auto"`` into a concrete count via
+    :func:`calibrate_substeps`; a no-op for integer substeps."""
+    if params.solver.substeps != "auto":
+        return params
+    if params.solver.solver == "SI":
+        raise ValueError(
+            "substeps='auto' calibrates explicit-solver substeps from "
+            "solver.reltol; the semi-implicit solver's error is O(dt) "
+            "operator-splitting, not stability — set integer solver.substeps "
+            "(and cg_iters) for SI, or pick an explicit solver"
+        )
+    n = calibrate_substeps(theta, batch, model, params, tstops)
+    print(f"[odinn_tpu] substeps='auto': calibrated {n} substeps/interval "
+          f"from reltol={params.solver.reltol:g} (adaptive BS3(2) probe)")
+    return params.replace(
+        solver=dataclasses.replace(params.solver, substeps=n)
+    )
+
+
 def forward_batch(theta, batch: Glacier, model: Model, params, tstops):
     """vmap the forward solve over the stacked glacier batch.
 
@@ -195,6 +277,7 @@ def run_prediction(pred: Prediction, tstops=None):
     if tstops is None:
         tstops = build_tstops(params.simulation.tspan, params.solver.step)
     theta = pred.theta
+    params = resolve_substeps(params, pred.glaciers, pred.model, theta, tstops)
 
     fwd = jax.jit(
         lambda th, batch: forward_batch(th, batch, pred.model, params, tstops)

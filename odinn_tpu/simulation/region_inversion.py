@@ -59,11 +59,11 @@ def region_split_inversion(
     if tstops is None:
         tstops = build_tstops(params.simulation.tspan, params.solver.step)
     td = glacier.thickness_data
+    if td is None:
+        raise ValueError("region-split inversion requires thickness observations")
     # observations may arrive as host numpy (generate_ground_truth's bulk
     # device_get); promote once so traced indexing works
     td = td.__class__(t=jnp.asarray(td.t), H=jnp.asarray(td.H))
-    if td is None:
-        raise ValueError("region-split inversion requires thickness observations")
 
     rmap = jnp.asarray(region_map(glacier.nx, glacier.ny, (rx, ry)))
     onehot = jax.nn.one_hot(rmap, n_regions, dtype=glacier.H0.dtype)  # (nx-1, ny-1, R)

@@ -303,6 +303,8 @@ def integrate_adaptive(
     atol: float = 1e-8,
     dt0: Optional[float] = None,
     max_steps_per_interval: int = 100_000,
+    callback: Optional[Callable] = None,
+    return_stats: bool = False,
 ):
     """Adaptive BS3(2) integration hitting every tstop exactly.
 
@@ -310,7 +312,17 @@ def integrate_adaptive(
     growth clamp [0.2, 5]; dt is truncated to land on the interval end. The
     outer save loop is a scan; the inner accept/reject loop a while_loop —
     forward-only, mirroring the reference's adaptive forward solves
-    (SolverParameters.reltol, /root/reference/test/params_construction.jl:5-13).
+    (SolverParameters.reltol, /root/reference/test/params_construction.jl:5-13;
+    the forward solve passes ``reltol = params.solver.reltol``,
+    inversion_utils.jl:559-568).
+
+    ``callback(y, t0, t1, interval_idx) -> y`` runs at the end of each save
+    interval (MB application) — same contract as :func:`integrate_scan`; the
+    FSAL derivative is recomputed after a callback since the state jumped.
+
+    ``return_stats=True`` additionally returns the per-interval ACCEPTED step
+    counts, shape ``(len(tstops) - 1,)`` — the calibration signal
+    ``substeps="auto"`` uses to size the fixed-shape training integrators.
     """
     tstops = jnp.asarray(tstops, dtype=jnp.result_type(y0))
     dt_init = jnp.asarray(dt0 if dt0 is not None else (tstops[1] - tstops[0]) / 100.0, y0.dtype)
@@ -319,15 +331,16 @@ def integrate_adaptive(
         scale = atol + rtol * jnp.maximum(jnp.abs(y_a), jnp.abs(y_b))
         return jnp.sqrt(jnp.mean((err / scale) ** 2))
 
-    def interval(carry, t1):
+    def interval(carry, xs):
+        t0i, t1, i = xs
         y, t, dt, k1, nfe = carry
 
         def cond(state):
-            y, t, dt, k1, it, nfe = state
+            y, t, dt, k1, it, nacc, nfe = state
             return (t < t1 - 1e-12) & (it < max_steps_per_interval)
 
         def body(state):
-            y, t, dt, k1, it, nfe = state
+            y, t, dt, k1, it, nacc, nfe = state
             dt_eff = jnp.minimum(dt, t1 - t)
             y3, err, k4 = _bs32_step(rhs, y, t, dt_eff, k1)
             en = err_norm(err, y, y3)
@@ -338,12 +351,22 @@ def integrate_adaptive(
             t = jnp.where(accept, t + dt_eff, t)
             k1 = jax.tree.map(lambda new, old: jnp.where(accept, new, old), k4, k1)
             # on reject, k1 at (y, t) is unchanged (FSAL only advances on accept)
-            return (y, t, dt_new, k1, it + 1, nfe + 3)
+            return (y, t, dt_new, k1, it + 1, nacc + accept, nfe + 3)
 
-        y, t, dt, k1, _, nfe = lax.while_loop(cond, body, (y, t, dt, k1, 0, nfe))
-        return (y, t, dt, k1, nfe), y
+        y, t, dt, k1, _, nacc, nfe = lax.while_loop(
+            cond, body, (y, t, dt, k1, 0, jnp.asarray(0), nfe))
+        if callback is not None:
+            y = callback(y, t0i, t1, i)
+            k1 = rhs(y, t1)          # state jumped; FSAL derivative is stale
+            nfe = nfe + 1
+        return (y, t, dt, k1, nfe), (y, nacc)
 
     k1_0 = rhs(y0, tstops[0])
+    idxs = jnp.arange(tstops.shape[0] - 1)
     carry0 = (y0, tstops[0], dt_init, k1_0, jnp.asarray(1))
-    (yf, tf, dtf, k1f, nfe), traj = lax.scan(interval, carry0, tstops[1:])
-    return jnp.concatenate([y0[None], traj], axis=0)
+    (yf, tf, dtf, k1f, nfe), (traj, naccs) = lax.scan(
+        interval, carry0, (tstops[:-1], tstops[1:], idxs))
+    traj = jnp.concatenate([y0[None], traj], axis=0)
+    if return_stats:
+        return traj, naccs
+    return traj

@@ -1,0 +1,173 @@
+"""Adaptive (error-controlled) forward integration wiring.
+
+The reference's default solve is adaptive at ``params.solver.reltol``
+(/root/reference/src/simulations/inversions/inversion_utils.jl:559-568;
+test/params_construction.jl:5-13). These tests pin the TPU-native contract:
+
+- ``SolverParameters.adaptive`` + ``reltol`` drive the BS3(2) error-controlled
+  forward in Prediction/ground truth — tightening reltol observably tightens
+  the solution and increases the accepted step count.
+- ``substeps="auto"`` transfers the tolerance onto the fixed-shape
+  (differentiable) training integrators via one adaptive probe solve.
+- training with ``adaptive=True`` fails loudly with the remedy.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odinn_tpu.core.params import (
+    Hyperparameters,
+    Parameters,
+    PhysicalParameters,
+    SimulationParameters,
+    SolverParameters,
+    UDEParameters,
+)
+from odinn_tpu.core.glacier import stack_glaciers
+from odinn_tpu.data.synthetic import halfar_glacier
+from odinn_tpu.laws.laws import ConstantA
+from odinn_tpu.models.model import Model, SIA2DModel
+from odinn_tpu.simulation.prediction import (
+    calibrate_substeps,
+    forward_glacier,
+    resolve_substeps,
+)
+from odinn_tpu.simulation.solver import build_tstops
+
+A_TRUE = 8e-19
+TSPAN = (5.0, 5.5)
+
+
+def make_params(**solver_kw):
+    sim_kw = {"use_MB": False, "use_velocities": False}
+    sim_kw.update(solver_kw.pop("sim", {}))
+    return Parameters(
+        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+        simulation=SimulationParameters(tspan=TSPAN, **sim_kw),
+        solver=SolverParameters(step=1.0 / 12.0, **solver_kw),
+        UDE=UDEParameters(grad="jax"),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    g = halfar_glacier(nx=48, ny=48, dx=80.0, temp=-15.0, A=A_TRUE)
+    model = Model(iceflow=SIA2DModel(A=ConstantA(A_TRUE)))
+    tstops = build_tstops(TSPAN, 1.0 / 12.0)
+    # converged-in-time oracle: RK4 at very fine fixed substeps
+    p_oracle = make_params(solver="RK4", substeps=400)
+    H_ref = np.asarray(
+        forward_glacier(None, g, 0, model, p_oracle, tstops)[-1]
+    )
+    return g, model, tstops, H_ref
+
+
+def _adaptive_final_H(g, model, tstops, reltol):
+    p = make_params(adaptive=True, reltol=reltol)
+    traj, naccs = jax.jit(
+        lambda: forward_glacier(None, g, 0, model, p, tstops, _return_stats=True)
+    )()
+    return np.asarray(traj[-1]), np.asarray(naccs)
+
+
+def test_reltol_controls_forward_error(setup):
+    """Tightening reltol observably tightens the adaptive solution and raises
+    the accepted step count — the knob is real, not dead config."""
+    g, model, tstops, H_ref = setup
+    scale = np.abs(H_ref).max()
+
+    H_loose, n_loose = _adaptive_final_H(g, model, tstops, 1e-3)
+    H_tight, n_tight = _adaptive_final_H(g, model, tstops, 1e-8)
+
+    err_loose = np.abs(H_loose - H_ref).max() / scale
+    err_tight = np.abs(H_tight - H_ref).max() / scale
+    assert err_tight < err_loose / 5, (err_loose, err_tight)
+    assert err_tight < 1e-6, err_tight
+    assert n_tight.sum() > n_loose.sum()
+
+
+def test_adaptive_with_mb_callback(setup):
+    """The MB callback fires at interval ends under the adaptive integrator —
+    same contract as integrate_scan (FSAL state refreshed after the jump)."""
+    from odinn_tpu.physics.mass_balance import TImodel1
+    from odinn_tpu.data.synthetic import monthly_dummy_climate
+
+    g, model, tstops, _ = setup
+    clim = monthly_dummy_climate(TSPAN[0], 10, temp_mean=-4.0,
+                                 longterm_temp=-15.0, nx=48, ny=48)
+    g_mb = g.replace(climate=clim)
+    model_mb = Model(iceflow=SIA2DModel(A=ConstantA(A_TRUE)),
+                     mass_balance=TImodel1())
+    p_fix = make_params(solver="RK4", substeps=200, sim={"use_MB": True})
+    p_ad = make_params(adaptive=True, reltol=1e-8, sim={"use_MB": True})
+    H_fix = np.asarray(forward_glacier(None, g_mb, 0, model_mb, p_fix, tstops)[-1])
+    H_ad = np.asarray(forward_glacier(None, g_mb, 0, model_mb, p_ad, tstops)[-1])
+    assert np.isfinite(H_ad).all()
+    np.testing.assert_allclose(H_ad, H_fix, atol=1e-5 * np.abs(H_fix).max())
+    # MB actually changed the state vs the no-MB solve
+    H_nomb = np.asarray(forward_glacier(None, g_mb, 0, model_mb,
+                                        make_params(adaptive=True, reltol=1e-8),
+                                        tstops)[-1])
+    assert np.abs(H_ad - H_nomb).max() > 1e-3
+
+
+def test_train_ude_rejects_adaptive(setup):
+    from odinn_tpu.simulation.inversion import Inversion, train_ude
+
+    g, model, tstops, _ = setup
+    p = make_params(adaptive=True, reltol=1e-6)
+    inv = Inversion(model=model, glaciers=[g], parameters=p)
+    with pytest.raises(ValueError, match="forward-only"):
+        train_ude(inv)
+
+
+def test_substeps_auto_calibration(setup):
+    """substeps='auto' resolves from reltol; tighter reltol → more substeps;
+    the calibrated fixed-step solve meets a tolerance commensurate with
+    reltol against the converged oracle."""
+    g, model, tstops, H_ref = setup
+    scale = np.abs(H_ref).max()
+    batch = stack_glaciers([g])
+
+    p_loose = make_params(solver="SSPRK3", substeps="auto", reltol=1e-4)
+    p_tight = make_params(solver="SSPRK3", substeps="auto", reltol=1e-7)
+    n_loose = calibrate_substeps(None, batch, model, p_loose, tstops)
+    n_tight = calibrate_substeps(None, batch, model, p_tight, tstops)
+    assert n_tight > n_loose >= 1
+
+    p_res = resolve_substeps(p_tight, batch, model, None, tstops)
+    assert isinstance(p_res.solver.substeps, int)
+    H_cal = np.asarray(forward_glacier(None, g, 0, model, p_res, tstops)[-1])
+    err = np.abs(H_cal - H_ref).max() / scale
+    # same-order fixed stepping at the calibrated count lands near reltol
+    assert err < 20 * 1e-7, err
+
+
+def test_substeps_auto_trains(setup):
+    """End-to-end: train_ude resolves 'auto' and trains to a finite loss."""
+    from odinn_tpu.laws.laws import LawA_inversion
+    from odinn_tpu.simulation.inversion import Inversion, train_ude
+    from odinn_tpu.simulation.prediction import generate_ground_truth
+
+    g, model, tstops, _ = setup
+    p = make_params(solver="SSPRK3", substeps="auto", reltol=1e-5)
+    p = p.replace(hyper=Hyperparameters(optimizer="adam", learning_rate=1e-2,
+                                        epochs=2, batch_size=4))
+    (g_obs,) = generate_ground_truth([g], p, model, tstops, store=("H",))
+    inv_model = Model(iceflow=SIA2DModel(A=LawA_inversion(p, scalar=True)))
+    inv = Inversion(model=inv_model, glaciers=[g_obs], parameters=p)
+    res = train_ude(inv)
+    assert np.isfinite(res.stats.final_loss)
+    assert isinstance(inv.parameters.solver.substeps, int)
+    assert inv.parameters.solver.substeps >= 1
+
+
+def test_sip_rejects_auto(setup):
+    g, model, tstops, _ = setup
+    p = make_params(solver="SI", substeps="auto")
+    with pytest.raises(ValueError, match="semi-implicit"):
+        resolve_substeps(p, stack_glaciers([g]), model, None, tstops)

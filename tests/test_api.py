@@ -102,3 +102,17 @@ def test_region_split_inversion():
     # central regions see the dome; their A should approach the truth
     rel = np.abs(out["A_regions"] - A_TRUE) / A_TRUE
     assert rel.min() < 0.2, f"A_regions {out['A_regions']}"
+
+
+def test_region_split_inversion_requires_thickness_obs():
+    """A glacier without thickness observations must raise the intended
+    ValueError with the remedy, not an AttributeError (r3 verdict Weak #3:
+    the None-guard ran after td.t was dereferenced)."""
+    from odinn_tpu import api
+    from odinn_tpu.simulation.region_inversion import region_split_inversion
+
+    params = api.Parameters()
+    g = api.halfar_glacier(nx=24, ny=24, dx=130.0, temp=-15.0)
+    assert g.thickness_data is None
+    with pytest.raises(ValueError, match="thickness observations"):
+        region_split_inversion(g, params, max_iters=1)

@@ -68,3 +68,19 @@ def test_pallas_custom_vjp_gradients():
     eps = 1e-4
     fdh = (loss_h(H + eps * v) - loss_h(H - eps * v)) / (2 * eps)
     np.testing.assert_allclose(float(jnp.sum(gh * v)), float(fdh), rtol=1e-6)
+
+
+def test_unsupported_shape_reason():
+    """The whole-grid kernels refuse unsupported shapes with a clear message
+    (r3 verdict Weak #5: 512² g_block=1 used to surface as opaque Mosaic
+    errors → NaN benchmark rows)."""
+    from odinn_tpu.ops.pallas.rkc_kernel import unsupported_reason
+
+    # the production 128² f32 shape is supported at the default block
+    assert unsupported_reason(128, 128, 8) is None
+    # 512² at g_block=1: Mosaic broadcast limitation → named reason
+    r = unsupported_reason(512, 512, 1)
+    assert r is not None and "512" in r and "XLA path" in r
+    # VMEM blow-up at larger blocks → named reason with the budget
+    r = unsupported_reason(512, 512, 8)
+    assert r is not None and "VMEM" in r

@@ -216,3 +216,21 @@ def test_shard_map_per_glacier_theta(problem):
     )(theta)
     np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(grads["A"]), np.asarray(ref_grads["A"]), rtol=1e-9)
+
+
+def test_run_inversion_mesh_passthrough(problem):
+    """``run_inversion(inv, mesh=...)`` reaches train_ude's sharding path
+    without a session-registered mesh (r3 verdict Weak #6)."""
+    from odinn_tpu.parallel.mesh import active_mesh
+    from odinn_tpu.simulation.inversion import Inversion, run_inversion
+
+    params, model, batch, theta, tstops = problem
+    params = params.replace(hyper=Hyperparameters(
+        optimizer="adam", learning_rate=1e-2, epochs=1, batch_size=8))
+    assert active_mesh() is None
+    mesh = make_mesh(8)
+    inv = Inversion(model=model, glaciers=batch, parameters=params,
+                    theta=jax.tree.map(jnp.copy, theta))
+    res = run_inversion(inv, mesh=mesh)
+    assert np.isfinite(res.stats.final_loss)
+    assert res.simulation["H"].shape[0] == 8
