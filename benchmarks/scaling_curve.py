@@ -96,30 +96,29 @@ def main():
             inv, lambda th, b, ids: batch_transient_loss(th, b, model, params,
                                                          tstops, glacier_ids=ids))
 
-        @jax.jit
         def step(theta, state, b):
             val, grads = vg(theta, b)
             updates, state = opt.update(grads, state, theta)
             return optax.apply_updates(theta, updates), state, val
 
-        theta, state, val = step(theta, state, batch)   # compile
+        # AOT compile: the SAME executable is audited for HBM (compiler
+        # budget; allocator stats where the backend exposes them) and timed
+        from odinn_tpu.utils.memory import aot_step_memory
+
+        step_c, mem = aot_step_memory(step, theta, state, batch)
+        theta, state, val = step_c(theta, state, batch)   # warm
         jax.block_until_ready(val)
         t0 = time.time()
         for _ in range(EPOCHS):
-            theta, state, val = step(theta, state, batch)
+            theta, state, val = step_c(theta, state, batch)
         jax.block_until_ready(val)
         dt = (time.time() - t0) / EPOCHS
 
-        mem = None
-        try:
-            stats = jax.devices()[0].memory_stats()
-            mem = round(stats.get("bytes_in_use", 0) / 2**30, 3)
-        except Exception:
-            pass
         row = {"n_glaciers": NG, "grid": NX, "ground_truth_s": round(t_gt, 2),
                "s_per_epoch": round(dt, 4),
                "glaciers_per_s": round(NG / dt, 1),
-               "hbm_gib": mem, "remat": remat,
+               "hbm_gib": mem["total_gib"], "hbm_breakdown": mem,
+               "remat": remat,
                "accum_chunks": resolve_accum_chunks(accum, NG), "loss": float(val)}
         results.append(row)
         print(json.dumps(row), flush=True)

@@ -228,6 +228,11 @@ ComponentVector2Vector = theta_to_vector
 # parallel -----------------------------------------------------------------------
 from odinn_tpu.parallel.mesh import make_mesh, pad_batch_to, replicate, shard_glacier_axis
 from odinn_tpu.parallel.spatial import make_mesh_2d
+from odinn_tpu.parallel.multiprocess import (
+    gather_to_host,
+    global_mesh,
+    init_distributed,
+)
 from odinn_tpu.simulation.region_inversion import region_split_inversion
 
 # uncertainty quantification (beyond-parity) --------------------------------------

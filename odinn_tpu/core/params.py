@@ -119,6 +119,12 @@ class SolverParameters:
     remat: bool = True              # rematerialize intervals in reverse-mode
                                     # (O(n_tstops) memory); False trades memory
                                     # for backward speed on small problems
+    compensated: bool = False       # Kahan-compensated f32 state accumulation
+                                    # (Euler/SSPRK3/RK4): removes the O(√K·ε)
+                                    # per-substep rounding walk — near-f64
+                                    # trajectory accuracy at f32 speed (the
+                                    # TPU answer to the reference's Float64
+                                    # default; see solver.integrate_scan)
 
 
 @dataclass(frozen=True)

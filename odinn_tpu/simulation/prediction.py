@@ -129,6 +129,7 @@ def forward_glacier(
         return integrate_scan(
             rhs, H0, tstops, params.solver.substeps, method=method, callback=callback,
             checkpoint=params.solver.remat, rkc_stages=params.solver.rkc_stages,
+            compensated=params.solver.compensated,
         )
 
     # Periodic laws (callback_freq > 0, docs/src/inversions.md:140-156): their

@@ -155,3 +155,43 @@ def test_mesh_sharded_restarts_match(setup):
     ms2 = multistart_train(inv2, n_restarts=8, seed=3, mesh=mesh)
     np.testing.assert_allclose(ms2.losses, ms1.losses, rtol=1e-7)
     assert ms2.best_idx == ms1.best_idx
+
+
+def test_refine_top_k_lbfgs(setup):
+    """Adam exploration → vmapped LBFGS refinement on the top-2 survivors
+    (r3 verdict Weak #6): the refined winner must beat the Adam-only winner,
+    and the result records which restarts were refined."""
+    params, glaciers = setup
+    params = _params(optimizer=("adam", "lbfgs"), lr=(0.08, 1.0), epochs=(8, 6))
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+
+    inv_a = Inversion(model=model, glaciers=glaciers, parameters=params)
+    params_a = _params(optimizer=("adam",), lr=(0.08,), epochs=(8,))
+    inv_a.parameters = params_a
+    ms_a = multistart_train(inv_a, n_restarts=4, seed=5)
+
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    ms = multistart_train(inv, n_restarts=4, seed=5, refine_top_k=2)
+    assert ms.refined_idxs is not None and len(ms.refined_idxs) == 2
+    assert ms.refined_losses is not None and np.isfinite(ms.refined_losses).all()
+    assert ms.best_loss <= ms_a.best_loss
+    # the installed theta evaluates to the reported best loss
+    from odinn_tpu.simulation.inversion import assemble_tstops, batch_transient_loss
+
+    tst = assemble_tstops(params, inv.glaciers)
+    val = float(jax.jit(lambda th, b: batch_transient_loss(
+        th, b, model, params, tst))(inv.theta, inv.glaciers))
+    np.testing.assert_allclose(val, ms.best_loss, rtol=1e-6)
+
+
+def test_refine_top_k_lm(setup):
+    """Adam → per-survivor LM refinement: the LM stage must reduce the loss
+    of the winner (quadratic local convergence on the scalar-A problem)."""
+    params, glaciers = setup
+    params = _params(optimizer=("adam", "lm"), lr=(0.08, 1e-2), epochs=(8, 4))
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    ms = multistart_train(inv, n_restarts=3, seed=5, refine_top_k=1)
+    assert ms.refined_losses is not None
+    # LM refinement from the Adam winner must improve on the Adam-only finals
+    assert ms.best_loss <= np.min(ms.final_losses) * (1 + 1e-12)
