@@ -4,10 +4,27 @@ Mirrors the reference's headline number — "Forward Prediction, 4 glaciers,
 2010–2015, monthly MB: around 1-2 seconds" (BASELINE.md;
 /root/reference/docs/src/forward_simulation.jl:133) — on the TPU-native
 vmapped solve: 4 Halfar glaciers, 5 years, monthly saves with monthly
-mass-balance application, 128×128 grids, float32, semi-implicit solver
-(Jacobi-PCG with time-extrapolated warm starts, cg_iters=10: final H within
-2.0e-6 of the cg=60-converged trajectory — measured sweep in STATUS.md, 5×
-inside the 1e-5 H-parity north star).
+mass-balance application, 128×128 grids, float32. TWO rows in one JSON line:
+
+- **fast** (the headline `value`): semi-implicit solver, one
+  unconditionally-stable step per monthly interval, warm-started Jacobi-PCG
+  at cg_iters=10. Total H error vs a converged-in-time float64 oracle
+  (RK4 @ 240 substeps/month, self-check 1.8e-13): **2.3e-3** relative —
+  time-discretization dominated (benchmarks/accuracy_matched_result*.json).
+- **accuracy_matched**: SSPRK3 @ 15 substeps/month with Kahan-COMPENSATED
+  f32 accumulation (SolverParameters.compensated — removes the ~4e-5 f32
+  rounding walk that floors plain f32). Total H error vs the same f64
+  oracle: **1.7e-7** — 58× inside BASELINE.md's 1e-5 north star, which is
+  the accuracy regime the reference's Float64 reltol=1e-8 adaptive solve
+  (inversion_utils.jl:559-568) targets. This is the honest
+  apples-to-apples row; the fast row is what production chooses when
+  2.3e-3 forward error is acceptable (it is ~40× below typical thickness
+  observation noise).
+
+Error figures are measured by benchmarks/accuracy_matched.py (run modes
+"float32"/"float64"/"compensated") against the f64 oracle; bench.py itself
+only re-times both configurations so the driver's per-round number stays
+cheap. Re-run the sweep when the solver configuration here changes.
 
 Methodology — chained-dispatch slope. This dev harness reaches its single
 TPU chip through an RPC tunnel whose dispatch+sync round trip is ~28 ms,
@@ -57,18 +74,21 @@ def main():
     TSPAN = (5.0, 10.0)  # 5 years
     DX = 100.0
 
-    params = Parameters(
-        physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
-        simulation=SimulationParameters(
-            tspan=TSPAN, use_MB=True, step_MB=1.0 / 12.0, use_velocities=False,
-            float_dtype="float32",
-        ),
-        # semi-implicit solver: one unconditionally-stable step per monthly
-        # save interval; warm-started Jacobi-PCG at 10 iterations (H within
-        # 2.0e-6 of the converged solve — see module docstring)
-        solver=SolverParameters(step=1.0 / 12.0, substeps=1, solver="SI", cg_iters=10),
-        UDE=UDEParameters(grad="jax"),
-    )
+    def make_params(**solver_kw):
+        return Parameters(
+            physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+            simulation=SimulationParameters(
+                tspan=TSPAN, use_MB=True, step_MB=1.0 / 12.0,
+                use_velocities=False, float_dtype="float32",
+            ),
+            solver=SolverParameters(step=1.0 / 12.0, **solver_kw),
+            UDE=UDEParameters(grad="jax"),
+        )
+
+    # fast row: semi-implicit, warm-started Jacobi-PCG (see docstring)
+    params = make_params(substeps=1, solver="SI", cg_iters=10)
+    # accuracy-matched row: compensated-f32 SSPRK3 (H err 1.7e-7 vs f64)
+    params_acc = make_params(substeps=15, solver="SSPRK3", compensated=True)
 
     n_months = int(round((TSPAN[1] - TSPAN[0]) * 12)) + 2
     temps = np.linspace(-25.0, -13.0, N_G)
@@ -92,18 +112,18 @@ def main():
     model = Model(iceflow=SIA2DModel(A=CuffeyPaterson(), n_value=3.0), mass_balance=TImodel1())
     tstops = build_tstops(TSPAN, params.solver.step)
 
-    def chained(b, eps, K):
+    def chained(b, eps, K, p):
         # K full forwards in one dispatch; eps (0.0 at runtime) forces a
         # data dependence between repeats that XLA cannot fold away
         def body(carry, _):
             b2 = dataclasses.replace(b, H0=b.H0 + eps * carry)
-            traj = forward_batch(None, b2, model, params, tstops)
+            traj = forward_batch(None, b2, model, p, tstops)
             return jnp.sum(traj[:, -1]), None
 
         return jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), None, length=K)[0]
 
-    def timed(K, reps=5):
-        g = jax.jit(lambda b, e: chained(b, e, K))
+    def timed(K, p, reps=5):
+        g = jax.jit(lambda b, e: chained(b, e, K, p))
         eps = jnp.asarray(0.0, jnp.float32)
         float(g(batch, eps))  # compile + warm
         ts = []
@@ -113,8 +133,11 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    K_LO, K_HI = 10, 30
-    sec = (timed(K_HI) - timed(K_LO)) / (K_HI - K_LO)
+    def slope(p, k_lo=10, k_hi=30):
+        return (timed(k_hi, p) - timed(k_lo, p)) / (k_hi - k_lo)
+
+    sec = slope(params)
+    sec_acc = slope(params_acc, k_lo=5, k_hi=15)
 
     baseline_sec = 1.5  # midpoint of the reference's "around 1-2 seconds"
     print(
@@ -124,6 +147,17 @@ def main():
                 "value": round(sec, 5),
                 "unit": "s",
                 "vs_baseline": round(baseline_sec / sec, 2),
+                # total H error vs the converged f64 oracle, measured by
+                # benchmarks/accuracy_matched.py (see module docstring)
+                "fast_row_max_rel_H_err": 2.3e-3,
+                "accuracy_matched": {
+                    "solver": "SSPRK3@15/month, compensated f32",
+                    "value": round(sec_acc, 5),
+                    "vs_baseline": round(baseline_sec / sec_acc, 2),
+                    "max_rel_H_err": 1.7e-7,
+                    "north_star": "H within 1e-5 (BASELINE.md)",
+                    "err_source": "benchmarks/accuracy_matched_result_comp.json",
+                },
             }
         )
     )

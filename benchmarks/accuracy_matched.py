@@ -24,7 +24,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(dtype: str = "float32"):
-    if dtype == "float64":
+    # "compensated" mode: f32 candidates with Kahan-compensated accumulation
+    # (SolverParameters.compensated), errors measured against an f64
+    # converged-in-time oracle — plain-f32 errors are floored at ~5e-5-1e-4
+    # by the state-update rounding walk, so a same-dtype oracle cannot see
+    # below it
+    if dtype in ("float64", "compensated"):
         import jax
 
         jax.config.update("jax_enable_x64", True)
@@ -55,15 +60,17 @@ def main(dtype: str = "float32"):
     TSPAN = (5.0, 10.0)
     DX = 100.0
 
-    def make_params(solver, substeps, cg_iters=10):
+    def make_params(solver, substeps, cg_iters=10, compensated=False):
         return Parameters(
             physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
             simulation=SimulationParameters(
                 tspan=TSPAN, use_MB=True, step_MB=1.0 / 12.0,
-                use_velocities=False, float_dtype=dtype,
+                use_velocities=False,
+                float_dtype="float64" if dtype == "float64" else "float32",
             ),
             solver=SolverParameters(step=1.0 / 12.0, substeps=substeps,
-                                    solver=solver, cg_iters=cg_iters),
+                                    solver=solver, cg_iters=cg_iters,
+                                    compensated=compensated),
             UDE=UDEParameters(grad="jax"),
         )
 
@@ -89,18 +96,32 @@ def main(dtype: str = "float32"):
                   mass_balance=TImodel1())
     tstops = build_tstops(TSPAN, 1.0 / 12.0)
 
-    def final_H(params):
+    def final_H(params, b=None):
+        b = batch if b is None else b
         return np.asarray(jax.jit(
             lambda b: forward_batch(None, b, model, params, tstops)[:, -1]
-        )(batch))
+        )(b))
+
+    batch64 = None
+    if dtype == "compensated":
+        batch64 = jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            batch,
+        )
+
+    def oracle_H(params):
+        # f64 oracle for the compensated mode; same-dtype otherwise
+        return final_H(params, batch64) if dtype == "compensated" else final_H(params)
 
     t0 = time.time()
-    H_ref = final_H(make_params("RK4", 240))
+    H_ref = oracle_H(make_params("RK4", 240))
     print(f"oracle RK4@240 done in {time.time()-t0:.0f}s", flush=True)
     scale = np.abs(H_ref).max()
     # oracle self-check: halving dt must move the oracle far less than the
     # 1e-5 gate, or it is not converged-in-time
-    H_ref2 = final_H(make_params("RK4", 480))
+    H_ref2 = oracle_H(make_params("RK4", 480))
     self_err = float(np.abs(H_ref2 - H_ref).max() / scale)
     print(f"oracle self-check (240 vs 480): {self_err:.2e}", flush=True)
 
@@ -125,7 +146,15 @@ def main(dtype: str = "float32"):
 
         return (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
 
-    if dtype == "float64":
+    if dtype == "compensated":
+        CANDIDATES = [
+            ("SSPRK3", 15, 10, True),
+            ("SSPRK3", 20, 10, True),
+            ("RK4", 15, 10, True),
+            ("RK4", 20, 10, True),
+            ("SSPRK3", 20, 10, False),   # plain f32 control
+        ]
+    elif dtype == "float64":
         CANDIDATES = [
             ("SI", 1, 10),      # the fast row's config, f64
             ("SSPRK3", 15, 10),
@@ -148,21 +177,25 @@ def main(dtype: str = "float32"):
             ("RK4", 40, 10),
         ]
 
-    suffix = "_f64" if dtype == "float64" else ""
+    suffix = {"float64": "_f64", "compensated": "_comp"}.get(dtype, "")
     out_path = os.path.join(os.path.dirname(__file__),
                             f"accuracy_matched_result{suffix}.json")
     results = {
         "problem": f"bench.py headline (4 glaciers, 5yr, monthly MB, 128^2, {dtype})",
-        "oracle": "RK4 @ 240 substeps/month",
+        "oracle": "RK4 @ 240 substeps/month"
+                  + (" (float64)" if dtype == "compensated" else ""),
         "oracle_self_check_240_vs_480": self_err,
         "rows": [],
     }
-    for solver, sub, cg in CANDIDATES:
-        p = make_params(solver, sub, cg)
+    for cand in CANDIDATES:
+        solver, sub, cg = cand[:3]
+        comp = bool(cand[3]) if len(cand) > 3 else False
+        p = make_params(solver, sub, cg, compensated=comp)
         Hf = final_H(p)
-        err = float(np.abs(Hf - H_ref).max() / scale)
+        err = float(np.abs(Hf.astype(np.float64) - H_ref).max() / scale)
         sec = timed_slope(p)
         row = {"solver": solver, "substeps": sub, "cg_iters": cg,
+               "compensated": comp,
                "max_rel_H_err": err, "device_s": sec,
                "vs_baseline": round(1.5 / sec, 1)}
         results["rows"].append(row)

@@ -139,6 +139,100 @@ def main():
     vol, vol_std = post.std(dome_H_t_end)
     t_proj = time.time() - t0
 
+    # ---- NN-law posterior at scale (r3 verdict item #8) ----
+    # the functional-inversion case users actually ship: A = NN(T) with the
+    # production fourier8-32-1 log-head architecture (p = 609), trained on
+    # the SAME noisy observations (pretrain on the noisy classical Â's +
+    # PDE LM fine-tune), posterior via the dense GGN with a weight-space
+    # Gaussian prior (overparameterized: p ~ N_glaciers·5? no — p >> 128
+    # informative directions, so prior_std is load-bearing; see
+    # inverse/uncertainty.py docstring).
+    import subprocess
+    import tempfile
+
+    from odinn_tpu.laws.laws import LawA
+    from odinn_tpu.models.nn import MLP, NeuralNetwork
+
+    N_FOURIER = 8
+    arch = MLP((2 * N_FOURIER, 32, 1), ("tanh", "sigmoid"))
+    prescale_bounds = ((-25.0, 0.0),)
+    params_nn = dataclasses.replace(params, hyper=Hyperparameters(
+        optimizer=("lm",), learning_rate=(1e-2,), epochs=(10,),
+        batch_size=NG, gn_cg_iters=20, gn_glacier_norm=True))
+    nn = NeuralNetwork(arch, seed=666)
+    law_nn = LawA(nn, params_nn, head="log", prescale_bounds=prescale_bounds,
+                  n_fourier=N_FOURIER)
+    model_nn = Model(iceflow=SIA2DModel(A=law_nn, n_value=3.0))
+
+    # pretrain on the NOISY classical Â's (f64 dense fit in a subprocess)
+    with tempfile.TemporaryDirectory() as td:
+        fin, fout = os.path.join(td, "in.npz"), os.path.join(td, "out.npz")
+        np.savez(fin, temps=np.asarray(temps, np.float64),
+                 A=np.asarray(a_hat, np.float64),
+                 widths=np.asarray(arch.widths),
+                 acts=np.asarray(arch.activations),
+                 seed=666, min_A=params.physical.min_A,
+                 max_A=params.physical.max_A, head="log",
+                 prescale_bounds=np.asarray(prescale_bounds, np.float64),
+                 iters=600, n_fourier=N_FOURIER, restarts=3)
+        subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "_pretrain_A_sub.py"), fin, fout],
+                       check=True)
+        fit = np.load(fout)
+        theta_nn = {"A": [{k: jnp.asarray(fit[f"{k}{i}"], jnp.float32)
+                           for k in ("w", "b")}
+                          for i in range(len(arch.widths) - 1)]}
+
+    inv_nn = Inversion(model=model_nn, glaciers=batch, parameters=params_nn,
+                       theta=theta_nn)
+    t0 = time.time()
+    res_nn = run_inversion(inv_nn)
+    t_train_nn = time.time() - t0
+
+    resid_nn = make_residual_fn(model_nn, params_nn, tstops)
+    from jax.flatten_util import ravel_pytree
+
+    p_nn = int(ravel_pytree(inv_nn.theta)[0].size)
+    PRIOR_STD = float(os.environ.get("ODINN_UQ_PRIOR_STD", "1.0"))
+    t0 = time.time()
+    post_nn = laplace_posterior(inv_nn.theta, batch, resid_nn,
+                                prior_std=PRIOR_STD, dense_threshold=1024)
+    t_post_nn = time.time() - t0
+
+    def all_A_nn(th):
+        return jax.vmap(
+            lambda T: jnp.ravel(law_nn.apply(
+                th, {"T": T, "glacier_idx": jnp.asarray(0)}))[0]
+        )(jnp.asarray(temps, jnp.float32))
+
+    t0 = time.time()
+    a_nn, a_nn_std = post_nn.band(all_A_nn)
+    a_nn = np.asarray(a_nn, np.float64)
+    a_nn_std = np.asarray(a_nn_std, np.float64)
+    t_band_nn = time.time() - t0
+    z_nn = (a_nn - a_ref) / a_nn_std
+    rel_sigma_nn = a_nn_std / a_nn
+
+    # posterior band figure for the docs (plot_law posterior=... path)
+    fig_path = None
+    try:
+        from odinn_tpu.utils.plotting import plot_law
+
+        plots_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "plots")
+        os.makedirs(plots_dir, exist_ok=True)
+        a_true_vec = np.asarray([float(a_true_fn(jnp.asarray(t)))
+                                 for t in np.linspace(-25.0, -14.0, 100)])
+        fig = plot_law(law_nn, inv_nn.theta, glaciers[0],
+                       {"T": (-25.0, -14.0)},
+                       truth_fn=lambda T: a_true_fn(jnp.asarray(T)),
+                       posterior=post_nn)
+        fig_path = os.path.join(plots_dir, "nn_law_posterior_band.png")
+        fig.savefig(fig_path, dpi=120, bbox_inches="tight")
+    except Exception as e:  # plotting must not kill the benchmark
+        fig_path = f"unavailable: {e}"
+
     result = {
         "n_glaciers": NG, "grid": NX, "dtype": "float32", "solver": "SI",
         "sigma_obs_m": SIGMA_OBS,
@@ -161,6 +255,25 @@ def main():
         },
         "loss0": float(res.stats.losses[0]),
         "loss_final": float(res.stats.final_loss),
+        "nn_law": {
+            "arch": "fourier8-32-1 tanh+sigmoid, log head",
+            "p": p_nn, "prior_std": PRIOR_STD,
+            "train_s": round(t_train_nn, 2),
+            "posterior_build_s": round(t_post_nn, 2),
+            "band_s": round(t_band_nn, 2),
+            "loss_final": float(res_nn.stats.final_loss),
+            "calibration": {
+                # NN θ is shared across glaciers, so pointwise z's are
+                # correlated — coverage is a sanity check, not an iid test
+                "median_abs_z": float(np.median(np.abs(z_nn))),
+                "max_abs_z": float(np.max(np.abs(z_nn))),
+                "coverage_95pct": float(np.mean(np.abs(z_nn) < 1.96)),
+                "rel_sigma_A_min": float(rel_sigma_nn.min()),
+                "rel_sigma_A_median": float(np.median(rel_sigma_nn)),
+                "rel_sigma_A_max": float(rel_sigma_nn.max()),
+            },
+            "band_figure": fig_path,
+        },
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "uq_at_scale_result.json")

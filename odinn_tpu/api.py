@@ -176,9 +176,20 @@ VJP_λ_dSIA_dθ_continuous = _partial(vjp_sia_dtheta, "continuous")
 
 # simulation -------------------------------------------------------------------
 from odinn_tpu.simulation.inversion import Inversion, run_inversion, train_ude
-from odinn_tpu.simulation.prediction import Prediction, generate_ground_truth, run_prediction
+from odinn_tpu.simulation.prediction import (
+    Prediction,
+    calibrate_substeps,
+    generate_ground_truth,
+    resolve_substeps,
+    run_prediction,
+)
 from odinn_tpu.simulation.results import Results, TrainingStats
-from odinn_tpu.simulation.solver import build_tstops, suggest_substeps
+from odinn_tpu.simulation.solver import (
+    build_tstops,
+    integrate_adaptive,
+    integrate_scan,
+    suggest_substeps,
+)
 
 train_UDE = train_ude
 

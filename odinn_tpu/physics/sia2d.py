@@ -80,14 +80,17 @@ def sia2d_rhs(
       6. fluxes Fx = −D̄x·dS/dx|e, Fy = −D̄y·dS/dy|e;  dH = −∇·F on the interior
     """
     H = st.relu_strict(H)
-    S = B + H
+    # solve dtype = state dtype: under an x64 session neither the bed nor
+    # constant-law values (e.g. CuffeyPaterson's f64 table fit) may promote
+    # an f32 solve — and an f64 solve upcasts an f32 bed
+    S = B.astype(H.dtype) + H
 
     gsx, gsy = st.grad_slope(S, dx, dy)           # (nx-1, ny-1) staggered
     grad_s = st.safe_norm(gsx, gsy)
     hbar = st.avg(H)
 
     vals = values_fn(hbar, grad_s)
-    D = target.diffusivity(vals, hbar, grad_s, phys)
+    D = target.diffusivity(vals, hbar, grad_s, phys).astype(H.dtype)
 
     dsdx_e = st.diff_x(S[..., :, 1:-1]) / dx       # (nx-1, ny-2)
     dsdy_e = st.diff_y(S[..., 1:-1, :]) / dy       # (nx-2, ny-1)
@@ -110,12 +113,12 @@ def surface_velocity(H, B, dx, dy, values_fn, target, phys):
     Huginn.surface_V equivalent: V = −Velocityꜛ(H̄, |∇S|)·∇S
     (usage /root/reference/src/losses/TimeAggregatedLosses.jl:169)."""
     H = st.relu_strict(H)
-    S = B + H
+    S = B.astype(H.dtype) + H
     gsx, gsy = st.grad_slope(S, dx, dy)
     grad_s = st.safe_norm(gsx, gsy)
     hbar = st.avg(H)
     vals = values_fn(hbar, grad_s)
-    v_up = target.velocity_up(vals, hbar, grad_s, phys)
+    v_up = target.velocity_up(vals, hbar, grad_s, phys).astype(H.dtype)
     vx = -v_up * gsx
     vy = -v_up * gsy
     return vx, vy, st.safe_norm(vx, vy)

@@ -45,7 +45,9 @@ def _frozen_diffusivity(H, B, dx, dy, values_fn, target, phys):
     grad_s = st.safe_norm(gsx, gsy)
     hbar = st.avg(Hc)
     vals = values_fn(hbar, grad_s)
-    return target.diffusivity(vals, hbar, grad_s, phys)
+    # solve dtype = state dtype (see sia2d_rhs): constant laws must not
+    # promote an f32 solve under an x64 session
+    return target.diffusivity(vals, hbar, grad_s, phys).astype(H.dtype)
 
 
 def _div_flux(u, D, dx, dy):

@@ -124,3 +124,42 @@ def test_rhs_zero_outside_ice():
     # boundary ring is zero by construction (interior-only update)
     assert float(jnp.max(jnp.abs(dH[0, :]))) == 0.0
     assert float(jnp.max(jnp.abs(dH[:, -1]))) == 0.0
+
+
+def test_compensated_accumulation_beats_plain_f32():
+    """Kahan-compensated f32 accumulation (solver.integrate_scan
+    compensated=True) must (a) match the plain path exactly in f64 semantics
+    and (b) in f32, land at least 5x closer to the f64 trajectory than plain
+    f32 over a many-substep solve — the rounding walk is the f32 accuracy
+    floor the compensated path removes."""
+    fn, x, y = halfar_setup()
+    rhs64 = make_rhs()
+    tstops = build_tstops((5.0, 7.0), 1.0 / 12.0)
+    H0_64 = fn(x, y, 5.0)
+    H_ref = integrate_scan(rhs64, H0_64, tstops, 60, method="SSPRK3")[-1]
+
+    H0_32 = H0_64.astype(jnp.float32)
+    ts32 = jnp.asarray(tstops, jnp.float32)
+    plain = integrate_scan(rhs64, H0_32, ts32, 60, method="SSPRK3")[-1]
+    comp = integrate_scan(rhs64, H0_32, ts32, 60, method="SSPRK3",
+                          compensated=True)[-1]
+    scale = float(jnp.abs(H_ref).max())
+    e_plain = float(jnp.abs(plain.astype(jnp.float64) - H_ref).max()) / scale
+    e_comp = float(jnp.abs(comp.astype(jnp.float64) - H_ref).max()) / scale
+    assert e_comp < e_plain / 5, (e_plain, e_comp)
+
+    # increment forms are algebraically the steppers: f64 compensated == f64
+    # plain to tight tolerance
+    comp64 = integrate_scan(rhs64, H0_64, tstops, 60, method="SSPRK3",
+                            compensated=True)[-1]
+    np.testing.assert_allclose(np.asarray(comp64), np.asarray(H_ref),
+                               rtol=1e-12, atol=1e-10)
+
+
+def test_compensated_rejects_rkc():
+    fn, x, y = halfar_setup()
+    rhs = make_rhs()
+    tstops = build_tstops((5.0, 5.5), 1.0 / 12.0)
+    with pytest.raises(ValueError, match="compensated"):
+        integrate_scan(rhs, fn(x, y, 5.0), tstops, 4, method="RKC",
+                       compensated=True)
