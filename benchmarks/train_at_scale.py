@@ -438,7 +438,10 @@ def main():
         N_FOURIER = 8
         arch = MLP((2 * N_FOURIER, 32, 1), ("tanh", "sigmoid"))
         prescale_bounds = ((-25.0, 0.0),)
-        stages4 = [("lm", 1e-2, 30)]
+        # LM alone from a 5%-degraded start stalls (measured: 3.3x in 30
+        # iters — the start sits outside LM's quadratic basin); an Adam
+        # descent ladder walks back into it, then LM converges quadratically
+        stages4 = [("adam", 1e-3, 150), ("adam", 2e-4, 150), ("lm", 1e-2, 20)]
         params4 = make_params(stages4, gn_cg_iters=20, gn_glacier_norm=True)
         nn = NeuralNetwork(arch, seed=666)
         law4 = LawA(nn, params4, head="log", prescale_bounds=prescale_bounds,
@@ -545,7 +548,7 @@ def main():
         t_write = time.time() - t0
 
         stages5 = [("adam", 0.1, 60), ("adam", 0.02, 60), ("adam", 0.004, 60),
-                   ("lm", 1e-2, 20)]
+                   ("adam", 8e-4, 60), ("lm", 1e-2, 25)]
         params5 = make_params(stages5, gn_cg_iters=12, gn_glacier_norm=True,
                               use_MB=True, use_velocities=True,
                               loss=MultiLoss((LossHV(),), (1.0,)))
