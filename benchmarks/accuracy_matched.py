@@ -60,7 +60,8 @@ def main(dtype: str = "float32"):
     TSPAN = (5.0, 10.0)
     DX = 100.0
 
-    def make_params(solver, substeps, cg_iters=10, compensated=False):
+    def make_params(solver, substeps, cg_iters=10, compensated=False,
+                    rkc_stages=16):
         return Parameters(
             physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
             simulation=SimulationParameters(
@@ -70,7 +71,8 @@ def main(dtype: str = "float32"):
             ),
             solver=SolverParameters(step=1.0 / 12.0, substeps=substeps,
                                     solver=solver, cg_iters=cg_iters,
-                                    compensated=compensated),
+                                    compensated=compensated,
+                                    rkc_stages=rkc_stages),
             UDE=UDEParameters(grad="jax"),
         )
 
@@ -147,11 +149,25 @@ def main(dtype: str = "float32"):
         return (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
 
     if dtype == "compensated":
+        # r4 sweep: every compensated row at substeps >= 15 measured the
+        # IDENTICAL error 1.713e-7 — the f32 state-representation floor, not
+        # truncation. So the substep count is set by diffusion STABILITY,
+        # not accuracy: probe downward to the stability edge (unstable rows
+        # show up as huge/NaN error), and probe the stabilized-Chebyshev
+        # stepper (RKC2: real stability interval ~ 0.65 s² per step) at one
+        # step per month, where the 60-update rounding walk stays below the
+        # 1e-5 north star even without compensation.
         CANDIDATES = [
             ("SSPRK3", 15, 10, True),
-            ("SSPRK3", 20, 10, True),
+            ("SSPRK3", 12, 10, True),
+            ("SSPRK3", 10, 10, True),
+            ("SSPRK3", 8, 10, True),
+            ("SSPRK3", 6, 10, True),
             ("RK4", 15, 10, True),
-            ("RK4", 20, 10, True),
+            ("RKC", 1, 10, False, 30),
+            ("RKC", 1, 10, False, 22),
+            ("RKC", 1, 10, False, 16),
+            ("RKC", 2, 10, False, 16),
             ("SSPRK3", 20, 10, False),   # plain f32 control
         ]
     elif dtype == "float64":
@@ -190,7 +206,8 @@ def main(dtype: str = "float32"):
     for cand in CANDIDATES:
         solver, sub, cg = cand[:3]
         comp = bool(cand[3]) if len(cand) > 3 else False
-        p = make_params(solver, sub, cg, compensated=comp)
+        stages = int(cand[4]) if len(cand) > 4 else 16
+        p = make_params(solver, sub, cg, compensated=comp, rkc_stages=stages)
         Hf = final_H(p)
         err = float(np.abs(Hf.astype(np.float64) - H_ref).max() / scale)
         sec = timed_slope(p)
@@ -198,6 +215,8 @@ def main(dtype: str = "float32"):
                "compensated": comp,
                "max_rel_H_err": err, "device_s": sec,
                "vs_baseline": round(1.5 / sec, 1)}
+        if solver == "RKC":
+            row["rkc_stages"] = stages
         results["rows"].append(row)
         print(json.dumps(row), flush=True)
         with open(out_path, "w") as f:

@@ -440,13 +440,14 @@ def main():
         prescale_bounds = ((-25.0, 0.0),)
         # optimizer selection measured from this exact degraded start:
         # LM @ cg=20 + glacier-norm stalls (3.3x in 30 iters); Adam ladders
-        # reach only 16-42x; LM @ cg=60 WITHOUT glacier normalization
-        # converges quadratically (1594x, ratio 5.7e-7 — gate green). The
-        # per-glacier reweighting flattens exactly the curvature directions
-        # LM needs here, and 20 CG iters underconverge the 577-param
-        # Fourier-feature GGN (wide spectrum); 60 converge it.
-        stages4 = [("lm", 1e-2, 25)]
-        params4 = make_params(stages4, gn_cg_iters=60, gn_glacier_norm=False)
+        # reach only 16-42x; LM WITHOUT glacier normalization converges
+        # quadratically, and CG depth — not iteration count — is the lever
+        # on the 577-param Fourier-feature GGN (wide spectrum):
+        # cg=60/25it -> 1594x, cg=60/50it -> 2005x, cg=120/30it -> 14565x
+        # (ratio 6.3e-8). The per-glacier reweighting flattens exactly the
+        # curvature directions LM needs here.
+        stages4 = [("lm", 1e-2, 30)]
+        params4 = make_params(stages4, gn_cg_iters=120, gn_glacier_norm=False)
         nn = NeuralNetwork(arch, seed=666)
         law4 = LawA(nn, params4, head="log", prescale_bounds=prescale_bounds,
                     n_fourier=N_FOURIER)
