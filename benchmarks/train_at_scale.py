@@ -115,7 +115,8 @@ def main():
     a_true_fn = poly_A_paterson_cuffey()
 
     def make_params(stages, gn_cg_iters=8, gn_glacier_norm=False,
-                    use_MB=False, use_velocities=False, loss=None):
+                    use_MB=False, use_velocities=False, loss=None,
+                    gn_cg_restarts=1):
         opts = tuple(s[0] for s in stages)
         lrs = tuple(s[1] for s in stages)
         eps = tuple(s[2] for s in stages)
@@ -136,7 +137,8 @@ def main():
                                   # epoch 0.116->0.105 s, classical 0.070->0.068)
                                   grad_accum_chunks="auto",
                                   gn_cg_iters=gn_cg_iters,
-                                  gn_glacier_norm=gn_glacier_norm),
+                                  gn_glacier_norm=gn_glacier_norm,
+                                  gn_cg_restarts=gn_cg_restarts),
             UDE=UDEParameters(grad="jax", target="A",
                               empirical_loss_function=loss),
         )
@@ -443,11 +445,15 @@ def main():
         # reach only 16-42x; LM WITHOUT glacier normalization converges
         # quadratically, and CG depth — not iteration count — is the lever
         # on the 577-param Fourier-feature GGN (wide spectrum):
-        # cg=60/25it -> 1594x, cg=60/50it -> 2005x, cg=120/30it -> 14565x
-        # (ratio 6.3e-8). The per-glacier reweighting flattens exactly the
-        # curvature directions LM needs here.
-        stages4 = [("lm", 1e-2, 30)]
-        params4 = make_params(stages4, gn_cg_iters=120, gn_glacier_norm=False)
+        # cg=60/25it -> 1594x, cg=120/30it -> 14565x. Beyond ~150 f32 CG
+        # iterations single-shot CG loses conjugacy and REGRESSES (cg=400
+        # converges worse than cg=250); two exact-residual restarts of 125
+        # (gn_cg_restarts=2, cg=250) restore deep convergence — 22153x,
+        # A gate green — while 4 restarts of 120 are too shallow per round
+        # (the spectrum needs ~250 contiguous Krylov directions).
+        stages4 = [("lm", 1e-2, 40)]
+        params4 = make_params(stages4, gn_cg_iters=250, gn_glacier_norm=False,
+                              gn_cg_restarts=2)
         nn = NeuralNetwork(arch, seed=666)
         law4 = LawA(nn, params4, head="log", prescale_bounds=prescale_bounds,
                     n_fourier=N_FOURIER)

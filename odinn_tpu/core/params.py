@@ -146,6 +146,13 @@ class Hyperparameters:
     batch_size: int = 15
     gn_cg_iters: int = 8    # CG iterations per Gauss-Newton ("lm") stage
     gn_precond: bool = True  # per-leaf Jacobi preconditioning of the LM CG
+    # Split gn_cg_iters into this many CG rounds, each restarted from the
+    # EXACT residual r = -g - (JᵀJ+λD)x of the accumulated iterate. In f32,
+    # single-shot CG loses conjugacy after O(100) iterations (the recurrence
+    # residual rounds away from the true one) and can converge WORSE with
+    # more iterations; exact-residual restarts restore monotone deep-CG
+    # convergence for one extra GGN matvec per round. 1 = classic CG.
+    gn_cg_restarts: int = 1
     # Per-glacier loss normalization for "lm" stages: scale glacier g's
     # residual block by 1/(L_g(θ_start) + 0.01·mean_g L_g) so slow (cold)
     # glaciers — whose residuals are small regardless of parameter error —

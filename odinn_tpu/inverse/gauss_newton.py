@@ -65,7 +65,7 @@ def make_residual_fn(model, params, tstops):
     return resid
 
 
-def _cg_tree(matvec, b, iters: int, minv=None):
+def _cg_tree(matvec, b, iters: int, minv=None, restarts: int = 1):
     """Fixed-iteration (preconditioned) CG in θ-pytree space.
 
     ``minv``: optional elementwise Jacobi preconditioner pytree (1/diag of
@@ -74,14 +74,19 @@ def _cg_tree(matvec, b, iters: int, minv=None):
     curvature); un-preconditioned CG at 8–30 iterations stalls 2+ orders
     above the reachable loss (the r2 cg_iters=8 plateau), Jacobi removes the
     between-leaf scale disparity.
+
+    ``restarts``: split the ``iters`` budget into this many CG rounds, each
+    restarted from the EXACT residual r = b − A·x of the accumulated
+    iterate. In f32, recurrence-updated residuals lose conjugacy after
+    O(100) iterations (rounding walks the recurrence r away from the true
+    residual), so one deep CG can *stall or regress* — measured on the
+    128-glacier Fourier-feature GGN: cg=400 single-shot converges WORSE
+    than cg=250. Exact-residual restarts discard the drifted Krylov state
+    for one extra matvec per round, restoring monotone convergence at
+    depth. restarts=1 reproduces the classic single-shot behavior.
     """
     apply_minv = (lambda r: jax.tree.map(jnp.multiply, minv, r)) if minv is not None \
         else (lambda r: r)
-    x0 = jax.tree.map(jnp.zeros_like, b)
-    r0 = b
-    z0 = apply_minv(r0)
-    p0 = z0
-    rz0 = _tree_dot(r0, z0)
 
     def body(carry, _):
         x, r, p, rz = carry
@@ -96,7 +101,15 @@ def _cg_tree(matvec, b, iters: int, minv=None):
         p = _tree_axpy(beta, p, z)
         return (x, r, p, rz_new), None
 
-    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rz0), None, length=iters)
+    restarts = max(int(restarts), 1)
+    per_round = max(iters // restarts, 1)
+    x = jax.tree.map(jnp.zeros_like, b)
+    for k in range(restarts):
+        # exact residual of the accumulated iterate (k=0: b − A·0 = b)
+        r = b if k == 0 else jax.tree.map(jnp.subtract, b, matvec(x))
+        z = apply_minv(r)
+        (x, _, _, _), _ = jax.lax.scan(body, (x, r, z, _tree_dot(r, z)),
+                                       None, length=per_round)
     return x
 
 
@@ -111,6 +124,7 @@ def lm_train(
     precond: bool = True,
     diag_probes: int = 8,
     precond_refresh: int = 5,
+    cg_restarts: int = 1,
 ) -> Tuple:
     """Levenberg–Marquardt loop; returns (theta, losses).
 
@@ -128,6 +142,11 @@ def lm_train(
     the Marquardt damping (λ·diag instead of λ·I), making ``init_damping``
     dimensionless across problems whose curvature differs by orders of
     magnitude (NN layer weights vs per-glacier scalars).
+
+    ``cg_restarts``: split each step's CG budget into rounds restarted from
+    the exact residual (see :func:`_cg_tree`) — required for ``cg_iters``
+    beyond ~150 in float32, where single-shot CG loses conjugacy and can
+    converge worse with MORE iterations.
     """
 
     @jax.jit
@@ -183,7 +202,8 @@ def lm_train(
 
         minv = jax.tree.map(lambda d: 1.0 / (d * (1.0 + lam)), diag)
         neg_g = jax.tree.map(jnp.negative, g)
-        delta = _cg_tree(gnvp, neg_g, cg_iters, minv=minv)
+        delta = _cg_tree(gnvp, neg_g, cg_iters, minv=minv,
+                         restarts=cg_restarts)
         cand = jax.tree.map(jnp.add, theta, delta)
         r_new = resid(cand, batch)
         loss_new = jnp.sum(r_new * r_new)

@@ -770,7 +770,8 @@ def train_ude(
             theta, lm_losses = lm_train(theta, batch, resid, iters=epochs,
                                         cg_iters=params.hyper.gn_cg_iters,
                                         init_damping=lr, record=rec,
-                                        precond=params.hyper.gn_precond)
+                                        precond=params.hyper.gn_precond,
+                                        cg_restarts=params.hyper.gn_cg_restarts)
             stage_wall = time.time() - t_stage
             # rec() appended one dt=0.0 entry per record; overwrite them with
             # the stage's mean per-iteration wall time so len(time_per_iter)

@@ -242,3 +242,43 @@ def test_glacier_norm_lm_records_unnormalized_losses():
     assert lm_first <= adam_last * 10.0, (adam_last, lm_first)
     # and the recorded trace is consistent with the final true loss
     assert res.stats.final_loss <= L.min() * (1 + 1e-6)
+
+
+def test_cg_restarts_match_single_shot_in_f64_and_plumb():
+    """gn_cg_restarts splits the CG budget into exact-residual restarts.
+
+    In float64 (tests run with x64 on) a restarted solve of an SPD system
+    must agree with single-shot CG once both have enough total iterations
+    to converge (restarting discards Krylov history, so per-round depth
+    still has to exceed the effective spectrum — here p=6). The f32
+    motivation (single-shot CG at 250+ iterations regresses from conjugacy
+    loss) is benchmarked at scale in benchmarks/train_at_scale.py part 4.
+    """
+    from odinn_tpu.inverse.gauss_newton import _cg_tree
+
+    rng = np.random.default_rng(0)
+    # ill-conditioned SPD matrix (kappa ~ 1e6)
+    q, _ = np.linalg.qr(rng.standard_normal((6, 6)))
+    a = q @ np.diag(np.logspace(0, 6, 6)) @ q.T
+    b_np = rng.standard_normal(6)
+    a_j, b_j = jnp.asarray(a), {"x": jnp.asarray(b_np)}
+    matvec = lambda v: {"x": a_j @ v["x"]}
+    x1 = _cg_tree(matvec, b_j, 40, restarts=1)["x"]
+    x2 = _cg_tree(matvec, b_j, 40, restarts=2)["x"]
+    x_ref = np.linalg.solve(a, b_np)
+    np.testing.assert_allclose(np.asarray(x1), x_ref, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(x2), x_ref, rtol=1e-8)
+
+    # plumbing: an LM stage with gn_cg_restarts=2 trains and converges
+    from dataclasses import replace
+
+    from odinn_tpu.laws.laws import LawA_inversion
+
+    params, glaciers, tstops = make_setup(("lm",), (1e-2,), (6,))
+    params = replace(params, hyper=replace(params.hyper, batch_size=8,
+                                           gn_cg_iters=10, gn_cg_restarts=2))
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    res = run_inversion(inv)
+    L = np.asarray(res.stats.losses)
+    assert res.stats.final_loss < L[0] * 1e-3, L
