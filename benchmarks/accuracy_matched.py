@@ -163,6 +163,9 @@ def main(dtype: str = "float32"):
             ("SSPRK3", 10, 10, True),
             ("SSPRK3", 8, 10, True),
             ("SSPRK3", 6, 10, True),
+            ("SSPRK3", 5, 10, True),
+            ("SSPRK3", 4, 10, True),
+            ("SSPRK3", 3, 10, True),
             ("RK4", 15, 10, True),
             ("RKC", 1, 10, False, 30),
             ("RKC", 1, 10, False, 22),

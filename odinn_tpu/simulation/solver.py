@@ -212,14 +212,17 @@ def make_rkc2_step(s: int):
     stages run in a lax.scan with static coefficients)."""
     import numpy as np
 
-    w0, w1, mu1_t, mu, nu, mu_t, gam_t, c = _rkc2_coeffs(s)
-    mu = jnp.asarray(mu)
-    nu = jnp.asarray(nu)
-    mu_t = jnp.asarray(mu_t)
-    gam_t = jnp.asarray(gam_t)
-    c = jnp.asarray(c)
+    w0, w1, mu1_t, mu_np, nu_np, mu_t_np, gam_t_np, c_np = _rkc2_coeffs(s)
+    mu1_t = float(mu1_t)  # weak-typed: never promotes an f32 state under x64
 
     def step(f, y, t, dt):
+        # coefficients in the STATE dtype: under jax_enable_x64 the raw f64
+        # numpy tables would silently promote an f32 solve to f64 (scan
+        # carry dtype mismatch); Python-float scalars stay weak-typed
+        mu, nu, mu_t, gam_t, c = (
+            jnp.asarray(a, dtype=y.dtype)
+            for a in (mu_np, nu_np, mu_t_np, gam_t_np, c_np)
+        )
         f0 = f(y, t)
         y1 = y + mu1_t * dt * f0
 

@@ -163,3 +163,24 @@ def test_compensated_rejects_rkc():
     with pytest.raises(ValueError, match="compensated"):
         integrate_scan(rhs, fn(x, y, 5.0), tstops, 4, method="RKC",
                        compensated=True)
+
+
+def test_rkc_step_preserves_f32_under_x64():
+    """RKC2's coefficient tables are built in f64 numpy; under
+    jax_enable_x64 (the tests' default) they must not promote an f32
+    state — the scan carry would flip dtype mid-solve (TypeError) and an
+    f32 production solve would silently run at f64 cost. Regression for
+    the accuracy_matched.py compensated-mode sweep crash."""
+    from odinn_tpu.simulation.solver import make_rkc2_step
+
+    step = make_rkc2_step(8)
+    f = lambda y, t: -y
+    y32 = jnp.ones((4, 4), jnp.float32)
+    out = jax.jit(lambda y: step(f, y, 0.0, 0.1))(y32)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(float(out[0, 0]), np.exp(-0.1), rtol=2e-4)
+    y64 = jnp.ones((4, 4), jnp.float64)
+    out64 = step(f, y64, 0.0, 0.1)
+    assert out64.dtype == jnp.float64
+    # the f32 path agrees with the f64 path to f32 roundoff
+    np.testing.assert_allclose(float(out[0, 0]), float(out64[0, 0]), rtol=1e-5)
