@@ -166,6 +166,7 @@ def main(dtype: str = "float32"):
             ("SSPRK3", 5, 10, True),
             ("SSPRK3", 4, 10, True),
             ("SSPRK3", 3, 10, True),
+            ("SSPRK3", 2, 10, True),  # edge probe: expect ~5e-6 or unstable
             ("RK4", 15, 10, True),
             ("RKC", 1, 10, False, 30),
             ("RKC", 1, 10, False, 22),
@@ -186,6 +187,8 @@ def main(dtype: str = "float32"):
     else:
         CANDIDATES = [
             ("SI", 1, 10),      # the fast row, for reference
+            ("SI", 1, 8),       # cheaper-CG fast-row candidates: CG truncation
+            ("SI", 1, 6),       # is 2 orders below the 2.3e-3 splitting error
             ("SI", 4, 10),
             ("SI", 16, 15),
             ("SSPRK3", 20, 10),

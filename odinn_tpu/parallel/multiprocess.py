@@ -109,8 +109,8 @@ def launch_local_workers(num_processes: int, devices_per_process: int,
 
         python -m odinn_tpu.parallel.mp_worker <pid> <nproc> <port> <devs> *argv
 
-    Returns the list of completed ``subprocess.CompletedProcess``; raises on
-    any nonzero exit with the failing worker's output.
+    Returns the list of per-worker combined stdout+stderr strings; raises on
+    timeout or any nonzero exit with the failing worker's output.
     """
     import socket
     import subprocess

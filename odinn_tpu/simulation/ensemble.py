@@ -301,7 +301,8 @@ def _refine(top, batch, refine_stages, inversion, loss_fn_b, vg, model,
                 th_j, _ = lm_train(th_j, batch, resid, iters=int(epochs),
                                    cg_iters=params.hyper.gn_cg_iters,
                                    init_damping=lr,
-                                   precond=params.hyper.gn_precond)
+                                   precond=params.hyper.gn_precond,
+                                   cg_restarts=params.hyper.gn_cg_restarts)
                 outs.append(th_j)
             top = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
     return top
