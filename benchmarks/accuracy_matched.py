@@ -219,8 +219,14 @@ def main(dtype: str = "float32"):
         sec = timed_slope(p)
         row = {"solver": solver, "substeps": sub, "cg_iters": cg,
                "compensated": comp,
-               "max_rel_H_err": err, "device_s": sec,
+               "max_rel_H_err": err if np.isfinite(err) else None,
+               "device_s": sec,
                "vs_baseline": round(1.5 / sec, 1)}
+        if not np.isfinite(err):
+            # strict-JSON-safe instability record (NaN is invalid JSON):
+            # the candidate sits beyond the explicit stepper's diffusion
+            # stability edge (dt > ~C dx^2 / D_max), so the solve blows up
+            row["unstable"] = True
         if solver == "RKC":
             row["rkc_stages"] = stages
         results["rows"].append(row)
