@@ -60,9 +60,20 @@ def active_mesh() -> Optional[Mesh]:
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = GLACIER_AXIS) -> Mesh:
-    """1-D mesh over the available devices (ICI-contiguous order)."""
+    """1-D mesh over the available devices (ICI-contiguous order).
+
+    Raises if fewer than ``n_devices`` are visible on the default backend —
+    a silently smaller mesh would let an "8-device" dryrun pass on one chip
+    (callers that want clamping, e.g. ``api.enable_multiprocessing``, clamp
+    with a warning before calling).
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"mesh needs {n_devices} devices, have {len(devs)} "
+                f"on the default '{devs[0].platform}' backend"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
 

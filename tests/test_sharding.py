@@ -234,3 +234,16 @@ def test_run_inversion_mesh_passthrough(problem):
     res = run_inversion(inv, mesh=mesh)
     assert np.isfinite(res.stats.final_loss)
     assert res.simulation["H"].shape[0] == 8
+
+
+def test_make_mesh_raises_on_insufficient_devices():
+    """Asking for more devices than the default backend has must raise, not
+    silently clamp — a clamped mesh let an '8-device' dryrun pass on one
+    chip (callers that want clamping, e.g. api.enable_multiprocessing, warn
+    and clamp before calling)."""
+    import pytest
+
+    from odinn_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        make_mesh(16)
