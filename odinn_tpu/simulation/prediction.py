@@ -93,7 +93,7 @@ def forward_glacier(
             return jax.lax.cond((i + 1) % k == 0, apply, lambda H: H, H)
 
     periodic = model.iceflow.periodic_laws
-    method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler", "RKC", "SI") else "RK4"
+    method = params.solver.solver if params.solver.solver in ("RK4", "SSPRK3", "Euler", "RKC", "SI", "SI2") else "RK4"
     if params.solver.adaptive:
         if periodic:
             raise NotImplementedError(
@@ -116,14 +116,22 @@ def forward_glacier(
             "odinn_tpu.simulation.prediction.resolve_substeps(params, batch, "
             "model, theta, tstops) first"
         )
-    if method == "SI" and not periodic:
-        # unconditionally stable semi-implicit path (no CFL sizing needed)
+    if method in ("SI", "SI2") and not periodic:
+        # unconditionally stable semi-implicit path (no CFL sizing needed);
+        # SI2 = Crank–Nicolson with Picard midpoint diffusivity — second
+        # order in dt at two (warm-started) CG solves per step
         from odinn_tpu.simulation.implicit import integrate_semi_implicit
 
+        si2_kwargs = {}
+        if method == "SI2":
+            si2_kwargs = dict(
+                corrector=True,
+                cg_iters_predictor=params.solver.cg_iters_predictor,
+            )
         return integrate_semi_implicit(
             H0, glacier.B, glacier.dx, glacier.dy, values_fn, target, phys, tstops,
             substeps=params.solver.substeps, cg_iters=params.solver.cg_iters,
-            callback=callback, checkpoint=params.solver.remat,
+            callback=callback, checkpoint=params.solver.remat, **si2_kwargs,
         )
     if not periodic:
         return integrate_scan(
@@ -137,6 +145,13 @@ def forward_glacier(
     # each law's own cadence — the reference's PeriodicCallback law updates.
     from odinn_tpu.simulation.solver import get_stepper
 
+    if method == "SI2":
+        raise NotImplementedError(
+            "solver='SI2' does not support periodic laws (callback_freq > 0): "
+            "the Strang MB halves and the law-refresh cadence would interleave "
+            "ambiguously — use solver='SI' (first-order splitting) or an "
+            "explicit solver for periodic-law models"
+        )
     step_fn = None if method == "SI" else get_stepper(method, params.solver.rkc_stages)
     substeps = params.solver.substeps
     cadences = {
@@ -230,12 +245,13 @@ def resolve_substeps(params, batch, model, theta, tstops):
     :func:`calibrate_substeps`; a no-op for integer substeps."""
     if params.solver.substeps != "auto":
         return params
-    if params.solver.solver == "SI":
+    if params.solver.solver in ("SI", "SI2"):
         raise ValueError(
             "substeps='auto' calibrates explicit-solver substeps from "
-            "solver.reltol; the semi-implicit solver's error is O(dt) "
-            "operator-splitting, not stability — set integer solver.substeps "
-            "(and cg_iters) for SI, or pick an explicit solver"
+            "solver.reltol; the semi-implicit solvers' error is operator "
+            "splitting (O(dt) for SI, O(dt²) for SI2), not stability — set "
+            "integer solver.substeps (and cg_iters), or pick an explicit "
+            "solver"
         )
     n = calibrate_substeps(theta, batch, model, params, tstops)
     print(f"[odinn_tpu] substeps='auto': calibrated {n} substeps/interval "

@@ -150,3 +150,142 @@ def test_si_with_periodic_laws():
 def halfar_glacier_with_climate(clim):
     g = halfar_glacier(nx=32, ny=32, dx=130.0, temp=-15.0, A=A, climate=clim)
     return g.replace(B=jnp.full_like(g.B, 1500.0))
+
+
+# ---------------------------------------------------------------------------
+# SI2: Crank–Nicolson + Picard midpoint diffusivity (second order at SI cost)
+# ---------------------------------------------------------------------------
+
+
+def _si2_errs(substeps_list, corrector=True, theta=1.0):
+    """Final-H errors of SI variants vs a converged RK4 oracle (f64)."""
+    fn, x, y, vfn, _ = halfar_setup(nx=48, dx=100.0)
+    H0 = fn(x, y, 5.0).astype(jnp.float64)
+    tst = build_tstops((5.0, 6.0), 1.0 / 12.0)
+
+    def rhs(H, t):
+        return sia2d_rhs(H, jnp.zeros_like(H), 100.0, 100.0, vfn, ATarget(), PHYS)
+
+    Href = jax.jit(
+        lambda h: integrate_scan(rhs, h, tst, 64, method="RK4")
+    )(H0)[-1]
+    scale = float(jnp.abs(Href).max())
+    errs = []
+    for sub in substeps_list:
+        tr = jax.jit(
+            lambda h: integrate_semi_implicit(
+                h, jnp.zeros_like(h), 100.0, 100.0, vfn, ATarget(), PHYS, tst,
+                substeps=sub, cg_iters=40, corrector=corrector, theta=theta,
+                cg_iters_predictor=8)
+        )(H0)
+        errs.append(float(jnp.abs(tr[-1] - Href).max()) / scale)
+    return errs
+
+
+def test_si2_second_order_convergence():
+    """SI2 error drops ~4x per substep doubling (2nd order) and beats the
+    first-order SI scheme by well over an order of magnitude at equal dt."""
+    e1, e2 = _si2_errs([1, 2])
+    assert e1 / e2 > 3.0, f"not second order: {e1:.3e} -> {e2:.3e}"
+    (si1,) = _si2_errs([1], corrector=False, theta=1.0)
+    assert si1 / e1 > 10.0, f"SI2 gain too small: SI {si1:.3e} vs SI2 {e1:.3e}"
+
+
+def test_si2_forward_glacier_with_mb_second_order():
+    """The solver='SI2' production wiring (forward_batch + monthly MB lumps):
+    errors vs a dense-in-time oracle shrink ~4x per substep doubling — the MB
+    jump process is shared exactly, so only the diffusion error remains."""
+    import dataclasses
+
+    from odinn_tpu.core.glacier import stack_glaciers
+    from odinn_tpu.data.synthetic import monthly_dummy_climate
+    from odinn_tpu.laws.laws import CuffeyPaterson
+    from odinn_tpu.physics.mass_balance import TImodel1
+    from odinn_tpu.simulation.prediction import forward_batch
+
+    clim = monthly_dummy_climate(5.0, 14, temp_mean=-4.0, longterm_temp=-16.0,
+                                 nx=48, ny=48)
+    g = halfar_glacier(nx=48, ny=48, dx=100.0, dy=100.0, temp=-16.0,
+                       rgi_id="si2", climate=clim)
+    batch = stack_glaciers([g])
+    batch = jax.tree.map(
+        lambda v: v.astype(jnp.float64)
+        if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating) else v,
+        batch)
+    model = Model(iceflow=SIA2DModel(A=CuffeyPaterson(), n_value=3.0),
+                  mass_balance=TImodel1())
+    tst = build_tstops((5.0, 6.0), 1.0 / 12.0)
+
+    def make(solver, sub):
+        return Parameters(
+            physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
+            simulation=SimulationParameters(
+                tspan=(5.0, 6.0), use_MB=True, step_MB=1.0 / 12.0,
+                use_velocities=False, float_dtype="float64"),
+            solver=SolverParameters(step=1.0 / 12.0, substeps=sub,
+                                    solver=solver, cg_iters=40),
+            UDE=UDEParameters(grad="jax"),
+        )
+
+    def final_H(p):
+        return jax.jit(lambda b: forward_batch(None, b, model, p, tst)[:, -1])(batch)
+
+    Href = final_H(make("RK4", 64))
+    scale = float(jnp.abs(Href).max())
+
+    def err(solver, sub):
+        return float(jnp.abs(final_H(make(solver, sub)) - Href).max()) / scale
+
+    e1, e2 = err("SI2", 1), err("SI2", 2)
+    assert e1 / e2 > 3.0, f"not second order with MB: {e1:.3e} -> {e2:.3e}"
+    assert err("SI", 1) / e1 > 5.0
+
+
+def test_si2_gradient_via_implicit_diff():
+    """grad='jax' differentiates both SI2 solves per step through
+    custom_linear_solve (predictor enters via the midpoint-D product rule);
+    matches FD."""
+    fn, x, y, _, vals = halfar_setup(nx=48, dx=80.0)
+    H0 = fn(x, y, 5.0).astype(jnp.float64)
+    tst = build_tstops((5.0, 5.5), 1.0 / 12.0)
+
+    def loss(logA):
+        v = vals.replace(A=jnp.exp(logA))
+        tr = integrate_semi_implicit(H0, jnp.zeros_like(H0), 80.0, 80.0,
+                                     lambda hb, gs: v, ATarget(), PHYS, tst,
+                                     substeps=1, cg_iters=30, corrector=True)
+        return jnp.sum(tr[-1] ** 2)
+
+    g = jax.grad(loss)(jnp.log(A))
+    e = 1e-5
+    fd = (loss(jnp.log(A) + e) - loss(jnp.log(A) - e)) / (2 * e)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)
+
+
+def test_si2_discrete_adjoint_raises():
+    """DiscreteAdjoint cannot rematerialize SI2's two-solve steps — it must
+    refuse loudly with the grad='jax' remedy, not fall back to RK4."""
+    import pytest
+
+    from odinn_tpu.inverse.adjoint_types import DiscreteAdjoint
+    from odinn_tpu.laws.laws import ConstantA
+
+    params = Parameters(
+        physical=PHYS,
+        simulation=SimulationParameters(tspan=(5.0, 5.5), use_MB=False,
+                                        use_velocities=False),
+        solver=SolverParameters(solver="SI2", step=1.0 / 12.0, substeps=1,
+                                cg_iters=20),
+        hyper=Hyperparameters(optimizer=("adam",), learning_rate=(0.1,),
+                              epochs=(1,)),
+        UDE=UDEParameters(grad=DiscreteAdjoint()),
+    )
+    glaciers = [halfar_glacier(nx=32, ny=32, dx=120.0, temp=-15.0, A=5e-18,
+                               rgi_id="si2d")]
+    tstops = build_tstops((5.0, 5.5), params.solver.step)
+    truth = Model(iceflow=SIA2DModel(A=ConstantA(5e-18)))
+    glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
+    model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
+    inv = Inversion(model=model, glaciers=glaciers, parameters=params)
+    with pytest.raises(NotImplementedError, match="grad='jax'"):
+        run_inversion(inv)
