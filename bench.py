@@ -15,6 +15,12 @@ mass-balance application, 128×128 grids, float32. TWO rows in one JSON line:
   extrapolated CG warm start makes truncation a <1% contributor down to 6
   iterations and cg=6 is the fastest config at this accuracy tier
   (benchmarks/accuracy_matched_result.json).
+- **si2** (informational third row): the second-order semi-implicit solver
+  (solver="SI2": Crank–Nicolson + Picard midpoint diffusivity,
+  simulation/implicit.py) at one step per monthly interval — the production
+  choice when unconditional stability AND accuracy must hold at once. Total
+  H error vs the same f64 oracle: **9.3e-5** (25× below the fast row) at
+  ~1.6× the fast row's device time.
 - **accuracy_matched**: SSPRK3 @ 3 substeps/month with Kahan-COMPENSATED
   f32 accumulation (SolverParameters.compensated — removes the ~4e-5 f32
   rounding walk that floors plain f32). Total H error vs the same f64
@@ -94,6 +100,11 @@ def main():
 
     # fast row: semi-implicit, warm-started Jacobi-PCG (see docstring)
     params = make_params(substeps=1, solver="SI", cg_iters=6)
+    # SI2 row: second-order semi-implicit (CN + Picard midpoint diffusivity,
+    # simulation/implicit.py) — 25× lower time error than the fast row at
+    # 1.6× cost, same unconditional stability (H err 9.3e-5 vs f64 oracle)
+    params_si2 = make_params(substeps=1, solver="SI2", cg_iters=6,
+                             cg_iters_predictor=6)
     # accuracy-matched row: compensated-f32 SSPRK3 (H err 1.7e-6 vs f64)
     params_acc = make_params(substeps=3, solver="SSPRK3", compensated=True)
 
@@ -144,6 +155,7 @@ def main():
         return (timed(k_hi, p) - timed(k_lo, p)) / (k_hi - k_lo)
 
     sec = slope(params)
+    sec_si2 = slope(params_si2)
     sec_acc = slope(params_acc, k_lo=5, k_hi=15)
 
     baseline_sec = 1.5  # midpoint of the reference's "around 1-2 seconds"
@@ -157,6 +169,12 @@ def main():
                 # total H error vs the converged f64 oracle, measured by
                 # benchmarks/accuracy_matched.py (see module docstring)
                 "fast_row_max_rel_H_err": 2.31e-3,
+                "si2": {
+                    "solver": "SI2@1/month (CN + Picard midpoint D), PCG-6",
+                    "value": round(sec_si2, 5),
+                    "vs_baseline": round(baseline_sec / sec_si2, 2),
+                    "max_rel_H_err": 9.3e-5,
+                },
                 "accuracy_matched": {
                     "solver": "SSPRK3@3/month, compensated f32",
                     "value": round(sec_acc, 5),
