@@ -126,8 +126,7 @@ def main():
     # unconditionally stable (1 step/month, warm-started PCG)
     SOLVERS = [
         ("Euler", 40), ("SSPRK3", 20), ("RK4", 20), ("RKC", 3), ("SI", 1),
-        ("SI2", 1),   # 2nd-order semi-implicit; discrete adjoint records its
-                      # NotImplementedError row (grad="jax" is the path)
+        ("SI2", 1),   # 2nd-order semi-implicit (all three gradient paths)
     ]
 
     results = {

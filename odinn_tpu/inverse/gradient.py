@@ -49,6 +49,7 @@ from odinn_tpu.inverse.adjoint_types import (
 from odinn_tpu.inverse import vjps
 from odinn_tpu.losses.losses import LossContext, MultiLoss, term_kind
 from odinn_tpu.models.model import make_values_fn, resolve_outer_values
+from odinn_tpu.ops import stencils as st
 from odinn_tpu.physics.sia2d import v_from_h
 from odinn_tpu.simulation.prediction import _mb_every, forward_glacier
 from odinn_tpu.simulation.solver import build_tstops
@@ -348,6 +349,79 @@ def _make_si_transpose(theta, glacier, glacier_idx, model, params):
     return transpose
 
 
+def _make_si2_transpose(theta, glacier, glacier_idx, model, params):
+    """Exact transpose of one SI2 predictor–corrector step (implicit.si2_step).
+
+    SI2 is two chained Crank–Nicolson solves: predictor with D(H), corrector
+    with D((H + H_pred)/2). Each solve gets the same IFT treatment as
+    :func:`_make_si_transpose` at θ = ½ (adjoint CG with the SAME frozen SPD
+    operator, then the ⟨μ, db − dA·w⟩ parameter pullback); the midpoint chain
+    rule routes HALF of the corrector's D-cotangent back through the predictor
+    solve and half directly into H. Rematerialization warm-starts (predictor
+    x0 = H, corrector x0 = H_pred) differ from the production forward's
+    time-extrapolated guesses only through CG truncation — the same
+    convention the SI transpose already uses.
+    """
+    from odinn_tpu.simulation.implicit import _cg, _div_flux, _frozen_diffusivity
+
+    B, dx, dy = glacier.B, glacier.dx, glacier.dy
+    target, phys = model.target, params.physical
+    cg = params.solver.cg_iters
+    cg_p = params.solver.cg_iters_predictor
+    ts = 0.5  # Crank–Nicolson
+
+    def transpose(lam, H0, dt, t, dtheta):
+        def d_of(H, th):
+            outer = resolve_outer_values(model, th, glacier, glacier_idx, t)
+            vfn = make_values_fn(model, th, glacier, glacier_idx, t, outer)
+            return _frozen_diffusivity(H, B, dx, dy, vfn, target, phys)
+
+        interior = jnp.zeros_like(H0).at[..., 1:-1, 1:-1].set(1.0)
+        ring = 1.0 - interior
+
+        def matvec(D):
+            return lambda u: u - ts * dt * interior * _div_flux(
+                interior * u, D, dx, dy)
+
+        def rhs_b(D):
+            return H0 + dt * interior * _div_flux(
+                B + ring * H0 + (1.0 - ts) * interior * H0, D, dx, dy)
+
+        def pull(lam_, D, w, iters):
+            """λ on relu(w) → (∂H0 direct route, ∂D) for one CN solve."""
+            lam_r = lam_ * (w > 0.0)
+            mu = _cg(matvec(D), lam_r, lam_r, iters)
+            w_in = interior * w
+
+            def b_minus_Aw(H_, Dv):
+                return H_ + dt * interior * (
+                    _div_flux(B + ring * H_ + (1.0 - ts) * interior * H_,
+                              Dv, dx, dy)
+                    + ts * _div_flux(w_in, Dv, dx, dy))
+
+            _, pb_lin = jax.vjp(b_minus_Aw, H0, D)
+            return pb_lin(mu)
+
+        # rematerialize both pre-relu solves
+        D1, d_pb1 = jax.vjp(d_of, H0, theta)
+        w1 = _cg(matvec(D1), rhs_b(D1), H0, cg_p)
+        H_pred = st.relu_strict(w1)
+        H_mid = 0.5 * (H0 + H_pred)
+        D2, d_pb2 = jax.vjp(d_of, H_mid, theta)
+        w2 = _cg(matvec(D2), rhs_b(D2), H_pred, cg)
+
+        # reverse: corrector, then the midpoint route through the predictor
+        dH_a, cot_D2 = pull(lam, D2, w2, cg)
+        dH_mid, dth2 = d_pb2(cot_D2)
+        dH_b, cot_D1 = pull(0.5 * dH_mid, D1, w1, cg_p)
+        dH_c, dth1 = d_pb1(cot_D1)
+        dH = dH_a + 0.5 * dH_mid + dH_b + dH_c
+        dtheta = jax.tree.map(lambda a, x, y: a + x + y, dtheta, dth1, dth2)
+        return dH, dtheta
+
+    return transpose
+
+
 def glacier_adjoint_value_and_grad(
     theta, glacier, glacier_idx, model, params, tstops, adjoint, quad_nodes=None
 ):
@@ -408,15 +482,7 @@ def glacier_adjoint_value_and_grad(
 
     if isinstance(adjoint, DiscreteAdjoint):
         substeps = adjoint.substeps or params.solver.substeps
-        if params.solver.solver == "SI2":
-            raise NotImplementedError(
-                "DiscreteAdjoint does not support solver='SI2': its "
-                "extrapolated midpoint diffusivity makes each step depend on "
-                "TWO previous states, which the interval-local stage "
-                "transposes here cannot rematerialize — use grad='jax' (exact "
-                "IFT adjoint through custom_linear_solve) or solver='SI'"
-            )
-        known = ("RK4", "SSPRK3", "Euler", "RKC", "SI")
+        known = ("RK4", "SSPRK3", "Euler", "RKC", "SI", "SI2")
         method = params.solver.solver if params.solver.solver in known else "RK4"
         if method == "RKC":
             from odinn_tpu.simulation.solver import make_rkc2_step
@@ -434,6 +500,20 @@ def glacier_adjoint_value_and_grad(
                 return semi_implicit_step(
                     H, glacier.B, glacier.dx, glacier.dy, vfn, model.target,
                     params.physical, dt, params.solver.cg_iters,
+                )
+        elif method == "SI2":
+            from odinn_tpu.simulation.implicit import si2_step as _si2
+
+            si2_transpose = _make_si2_transpose(
+                theta, glacier, glacier_idx, model, params)
+
+            def si2_fwd(H, t, dt):
+                outer = resolve_outer_values(model, theta, glacier, glacier_idx, t)
+                vfn = make_values_fn(model, theta, glacier, glacier_idx, t, outer)
+                return _si2(
+                    H, glacier.B, glacier.dx, glacier.dy, vfn, model.target,
+                    params.physical, dt, params.solver.cg_iters,
+                    params.solver.cg_iters_predictor,
                 )
 
         def interval_reverse(carry, j):
@@ -462,6 +542,8 @@ def glacier_adjoint_value_and_grad(
                     Hn = rkc_step(rhs, H, t, dt)
                 elif method == "SI":
                     Hn = si_step(H, t, dt)
+                elif method == "SI2":
+                    Hn = si2_fwd(H, t, dt)
                 else:
                     Hn = H + dt * rhs(H, t)
                 return Hn, H
@@ -481,6 +563,8 @@ def glacier_adjoint_value_and_grad(
                     lam, dtheta = rkc_transpose(lam, H0, dt, t, rhs, vjp_H, vjp_theta, dtheta)
                 elif method == "SI":
                     lam, dtheta = si_transpose(lam, H0, dt, t, dtheta)
+                elif method == "SI2":
+                    lam, dtheta = si2_transpose(lam, H0, dt, t, dtheta)
                 else:
                     lam, dtheta = _euler_transpose(lam, H0, dt, t, vjp_H, vjp_theta, dtheta)
                 return (lam, dtheta), None

@@ -262,12 +262,12 @@ def test_si2_gradient_via_implicit_diff():
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)
 
 
-def test_si2_discrete_adjoint_raises():
-    """DiscreteAdjoint cannot rematerialize SI2's two-solve steps — it must
-    refuse loudly with the grad='jax' remedy, not fall back to RK4."""
-    import pytest
-
+def test_si2_discrete_adjoint_matches_jax():
+    """The SI2 discrete adjoint (two chained CN IFT transposes with the
+    midpoint chain rule, gradient._make_si2_transpose) reproduces grad='jax'
+    (reverse AD through both custom_linear_solves) on a converged-CG loss."""
     from odinn_tpu.inverse.adjoint_types import DiscreteAdjoint
+    from odinn_tpu.inverse.gradient import make_adjoint_value_and_grad
     from odinn_tpu.laws.laws import ConstantA
 
     params = Parameters(
@@ -275,7 +275,7 @@ def test_si2_discrete_adjoint_raises():
         simulation=SimulationParameters(tspan=(5.0, 5.5), use_MB=False,
                                         use_velocities=False),
         solver=SolverParameters(solver="SI2", step=1.0 / 12.0, substeps=1,
-                                cg_iters=20),
+                                cg_iters=60, cg_iters_predictor=60),
         hyper=Hyperparameters(optimizer=("adam",), learning_rate=(0.1,),
                               epochs=(1,)),
         UDE=UDEParameters(grad=DiscreteAdjoint()),
@@ -287,5 +287,16 @@ def test_si2_discrete_adjoint_raises():
     glaciers = generate_ground_truth(glaciers, params, truth, tstops, store=("H",))
     model = Model(iceflow=SIA2DModel(A=LawA_inversion(params, scalar=True)))
     inv = Inversion(model=model, glaciers=glaciers, parameters=params)
-    with pytest.raises(NotImplementedError, match="grad='jax'"):
-        run_inversion(inv)
+
+    from odinn_tpu.simulation.inversion import assemble_tstops, batch_transient_loss
+
+    vg_disc = make_adjoint_value_and_grad(inv, flavor="discrete")
+    l_d, g_d = vg_disc(inv.theta)
+
+    tst = assemble_tstops(params, inv.glaciers)
+    l_j, g_j = jax.value_and_grad(
+        lambda th: batch_transient_loss(th, inv.glaciers, model, params, tst)
+    )(inv.theta)
+    np.testing.assert_allclose(float(l_d), float(l_j), rtol=1e-8)
+    for a, b in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_j)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4)

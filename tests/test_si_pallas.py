@@ -1,0 +1,121 @@
+"""Fused Pallas SI-step kernel: numerical agreement with the production
+semi-implicit path (simulation/implicit.py) and gradient sanity.
+
+Runs in Pallas interpret mode on CPU (same policy as tests/test_rkc_pallas.py);
+the real-TPU measurement lives in benchmarks/si_pallas_bench.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odinn_tpu.core.params import PhysicalParameters
+from odinn_tpu.data.halfar import Halfar, HalfarParameters
+from odinn_tpu.ops.pallas.rkc_kernel import derived_scalars
+from odinn_tpu.ops.pallas.si_kernel import (
+    si_step_pallas,
+    si_step_reference,
+    unsupported_reason,
+)
+from odinn_tpu.physics.sia2d import SIAValues
+from odinn_tpu.physics.targets import ATarget
+from odinn_tpu.simulation.implicit import semi_implicit_step
+
+PHYS = PhysicalParameters()
+N_G, NX = 4, 64
+DX = 100.0
+
+
+def _setup(dtype=jnp.float32):
+    p = HalfarParameters(R0=1500.0, H0=400.0, A=8e-19, n=3.0,
+                         rho=PHYS.rho, g=PHYS.g)
+    fn, _ = Halfar(p)
+    xs = jnp.array([(i - NX / 2) * DX for i in range(NX)])
+    x, y = jnp.meshgrid(xs, xs, indexing="ij")
+    H1 = fn(x, y, 5.0)
+    Hs = jnp.stack([H1 * s for s in (1.0, 0.8, 1.1, 0.6)]).astype(dtype)
+    B = jnp.zeros_like(Hs)
+    A_g = jnp.array([8e-19, 4e-19, 1.5e-19, 6e-19], dtype)
+    scal = derived_scalars(
+        dx=jnp.full((N_G,), DX, dtype), dy=jnp.full((N_G,), DX, dtype),
+        A=A_g, C=jnp.zeros((N_G,), dtype), n=jnp.full((N_G,), 3.0, dtype),
+        p=jnp.full((N_G,), 3.0, dtype), q=jnp.zeros((N_G,), dtype),
+        rho=PHYS.rho, g=PHYS.g,
+    )
+    return Hs, B, scal, A_g
+
+
+def _xla_step(Hs, B, A_g, dt, theta, cg_iters, H_D=None):
+    """The production path: vmapped semi_implicit_step with scalar-A values."""
+    def one(H, a, hd):
+        vals = SIAValues(A=a, C=jnp.asarray(0.0, H.dtype),
+                         n=jnp.asarray(3.0, H.dtype),
+                         p=jnp.asarray(3.0, H.dtype),
+                         q=jnp.asarray(0.0, H.dtype))
+        return semi_implicit_step(H, jnp.zeros_like(H), DX, DX,
+                                  lambda hb, gs: vals, ATarget(), PHYS, dt,
+                                  cg_iters, theta=theta,
+                                  H_star=None if H_D is None else hd)
+    hd = Hs if H_D is None else H_D
+    return jax.vmap(one)(Hs, A_g, hd)
+
+
+@pytest.mark.parametrize("theta", [1.0, 0.5])
+def test_si_kernel_matches_production_step(theta):
+    Hs, B, scal, A_g = _setup(jnp.float64)
+    dt = 1.0 / 12.0
+    out_k = si_step_pallas(Hs, Hs, B, Hs, scal, dt, theta, 8)
+    out_x = _xla_step(Hs, B, A_g, dt, theta, 8)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-10, atol=1e-8)
+
+
+def test_si_kernel_distinct_H_D():
+    """SI2's corrector evaluates D at a different state than H — the kernel's
+    H_D input must match semi_implicit_step's H_star."""
+    Hs, B, scal, A_g = _setup(jnp.float64)
+    dt = 1.0 / 12.0
+    H_D = 0.97 * Hs
+    out_k = si_step_pallas(Hs, H_D, B, Hs, scal, dt, 0.5, 8)
+    out_x = _xla_step(Hs, B, A_g, dt, 0.5, 8, H_D=H_D)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-10, atol=1e-8)
+    # and it actually differs from D-at-H (the input matters)
+    out_h = si_step_pallas(Hs, Hs, B, Hs, scal, dt, 0.5, 8)
+    assert float(jnp.abs(out_k - out_h).max()) > 0.0
+
+
+def test_si_kernel_reference_equals_kernel():
+    """Interpret-mode kernel == the jnp mirror used for the backward pass."""
+    Hs, B, scal, _ = _setup(jnp.float64)
+    dt = 1.0 / 12.0
+    out_k = si_step_pallas(Hs, Hs, B, Hs, scal, dt, 1.0, 6)
+    out_r = si_step_reference(Hs, Hs, B, Hs, scal, dt, 1.0, 6)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=1e-12, atol=0)
+
+
+def test_si_kernel_gradient_matches_fd():
+    Hs, B, scal, _ = _setup(jnp.float64)
+    dt = 1.0 / 12.0
+
+    def loss(creep_col):
+        sc = scal.at[:, 2].set(creep_col)
+        out = si_step_pallas(Hs, Hs, B, Hs, sc, dt, 1.0, 6)
+        return jnp.sum(out ** 2)
+
+    c0 = scal[:, 2]
+    g = jax.grad(loss)(c0)
+    e = 1e-6 * float(c0[0])
+    fd = (loss(c0.at[0].add(e)) - loss(c0.at[0].add(-e))) / (2 * e)
+    np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-5)
+
+
+def test_si_kernel_unsupported_shapes_raise():
+    # one glacier per program: VMEM budget is the only limit — 512² f32 fits
+    # (the RKC kernel's g_block=1 broadcast bug doesn't apply to 2-D planes)
+    assert unsupported_reason(512, 512, itemsize=4) is None
+    assert unsupported_reason(1024, 1024, itemsize=4) is not None
+    assert unsupported_reason(512, 512, itemsize=8) is not None  # f64
+    assert unsupported_reason(128, 128) is None
