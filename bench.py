@@ -158,6 +158,32 @@ def main():
     sec_si2 = slope(params_si2)
     sec_acc = slope(params_acc, k_lo=5, k_hi=15)
 
+    def measured_err(fname, **match):
+        """Pull the measured max_rel_H_err for an exact config row from the
+        checked-in accuracy_matched artifact (same problem, same configs) —
+        bench.py times; the accuracy suite measures (ADVICE r4 #3: no
+        hardcoded error figures)."""
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", fname)
+        try:
+            with open(path) as f:
+                rows = json.load(f)["rows"]
+            for r in rows:
+                if all(r.get(k) == v for k, v in match.items()):
+                    return round(r["max_rel_H_err"], 10)
+        except Exception:
+            pass
+        return None
+
+    err_fast = measured_err("accuracy_matched_result.json",
+                            solver="SI", substeps=1, cg_iters=6)
+    err_si2 = measured_err("accuracy_matched_result_comp.json",
+                           solver="SI2", substeps=1, cg_iters=6)
+    err_acc = measured_err("accuracy_matched_result_comp.json",
+                           solver="SSPRK3", substeps=3, compensated=True)
+
     baseline_sec = 1.5  # midpoint of the reference's "around 1-2 seconds"
     print(
         json.dumps(
@@ -166,22 +192,23 @@ def main():
                 "value": round(sec, 5),
                 "unit": "s",
                 "vs_baseline": round(baseline_sec / sec, 2),
-                # total H error vs the converged f64 oracle, measured by
-                # benchmarks/accuracy_matched.py (see module docstring)
-                "fast_row_max_rel_H_err": 2.31e-3,
+                # total H error vs the converged f64 oracle, read from the
+                # checked-in benchmarks/accuracy_matched.py artifacts for the
+                # EXACT configs timed here (None if the artifact is missing)
+                "fast_row_max_rel_H_err": err_fast,
                 "si2": {
                     "solver": "SI2@1/month (CN + Picard midpoint D), PCG-6",
                     "value": round(sec_si2, 5),
                     "vs_baseline": round(baseline_sec / sec_si2, 2),
-                    "max_rel_H_err": 9.3e-5,
+                    "max_rel_H_err": err_si2,
                 },
                 "accuracy_matched": {
                     "solver": "SSPRK3@3/month, compensated f32",
                     "value": round(sec_acc, 5),
                     "vs_baseline": round(baseline_sec / sec_acc, 2),
-                    "max_rel_H_err": 1.7e-6,
+                    "max_rel_H_err": err_acc,
                     "north_star": "H within 1e-5 (BASELINE.md)",
-                    "err_source": "benchmarks/accuracy_matched_result_comp.json",
+                    "err_source": "benchmarks/accuracy_matched_result*.json",
                 },
             }
         )

@@ -451,7 +451,12 @@ def main():
         # (gn_cg_restarts=2, cg=250) restore deep convergence — 22153x,
         # A gate green — while 4 restarts of 120 are too shallow per round
         # (the spectrum needs ~250 contiguous Krylov directions).
-        stages4 = [("lm", 1e-2, 40)]
+        # r4 verdict #2: 40 iters stopped at A_relerr_max 4.5e-3 — an
+        # optimization gap, not identifiability (the observations here are
+        # NOISELESS, so the PDE-loss optimum IS the true A's). A second LM
+        # stage with a 30× lower re-seeded damping lets the trust region
+        # re-expand from the warm θ and finish the last decade of loss.
+        stages4 = [("lm", 1e-2, 50), ("lm", 3e-4, 40)]
         params4 = make_params(stages4, gn_cg_iters=250, gn_glacier_norm=False,
                               gn_cg_restarts=2)
         nn = NeuralNetwork(arch, seed=666)

@@ -127,6 +127,18 @@ def main():
     cover95 = float(np.mean(np.abs(z) < 1.96))
     rel_sigma = a_std / a_hat
 
+    # joint (whitened) calibration — the falsifiable metric (r4 verdict #5):
+    # score the error vector against the posterior's FULL claimed covariance;
+    # T/r ~ χ²_r/r under calibration, ≪1 if the band is inflated, ≫1 if
+    # overconfident. For the classical per-glacier posterior C is (block)
+    # diagonal so this is also the exact aggregate of the pointwise z's,
+    # with a p-value instead of an eyeballed coverage fraction (128 draws
+    # give the coverage estimate itself a ±0.02 binomial std).
+    from odinn_tpu.inverse.uncertainty import whitened_calibration
+
+    _, C_cl = post.cov_band(all_A)
+    joint_cl = whitened_calibration(a_hat - a_ref, C_cl)
+
     # ---- projection UQ: warmest glacier's dome thickness at t_end ----
     gw = jax.tree.map(lambda x: x[NG - 1], batch)
 
@@ -207,12 +219,16 @@ def main():
         )(jnp.asarray(temps, jnp.float32))
 
     t0 = time.time()
-    a_nn, a_nn_std = post_nn.band(all_A_nn)
+    a_nn, C_nn = post_nn.cov_band(all_A_nn)
     a_nn = np.asarray(a_nn, np.float64)
-    a_nn_std = np.asarray(a_nn_std, np.float64)
+    a_nn_std = np.sqrt(np.diag(C_nn))
     t_band_nn = time.time() - t0
     z_nn = (a_nn - a_ref) / a_nn_std
     rel_sigma_nn = a_nn_std / a_nn
+    # joint calibration against the full law covariance: shared NN θ makes
+    # the pointwise z's co-move (coverage 1.0 at max|z| 0.39 in r4 could not
+    # distinguish calibrated from 3× inflated); whitening can (r4 verdict #5)
+    joint_nn = whitened_calibration(a_nn - a_ref, C_nn)
 
     # posterior band figure for the docs (plot_law posterior=... path)
     fig_path = None
@@ -245,6 +261,8 @@ def main():
             "median_abs_z": float(np.median(np.abs(z))),
             "max_abs_z": float(np.max(np.abs(z))),
             "coverage_95pct": cover95,
+            "coverage_binomial_std": float(np.sqrt(0.95 * 0.05 / NG)),
+            "joint_whitened": joint_cl,
             "rel_sigma_A_min": float(rel_sigma.min()),
             "rel_sigma_A_median": float(np.median(rel_sigma)),
             "rel_sigma_A_max": float(rel_sigma.max()),
@@ -264,10 +282,12 @@ def main():
             "loss_final": float(res_nn.stats.final_loss),
             "calibration": {
                 # NN θ is shared across glaciers, so pointwise z's are
-                # correlated — coverage is a sanity check, not an iid test
+                # correlated — coverage is a sanity check, not an iid test;
+                # joint_whitened is the metric that can actually falsify
                 "median_abs_z": float(np.median(np.abs(z_nn))),
                 "max_abs_z": float(np.max(np.abs(z_nn))),
                 "coverage_95pct": float(np.mean(np.abs(z_nn) < 1.96)),
+                "joint_whitened": joint_nn,
                 "rel_sigma_A_min": float(rel_sigma_nn.min()),
                 "rel_sigma_A_median": float(np.median(rel_sigma_nn)),
                 "rel_sigma_A_max": float(rel_sigma_nn.max()),

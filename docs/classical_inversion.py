@@ -8,8 +8,14 @@ regularization) against thickness observations.
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
+
+# ODINN_TUTORIAL_SMOKE=1 shrinks the run for the CI tutorial lane
+# (tests/test_tutorials.py) — the flow is identical, only budgets shrink
+SMOKE = os.environ.get("ODINN_TUTORIAL_SMOKE") == "1"
 
 from odinn_tpu.core.params import (
     Hyperparameters,
@@ -34,7 +40,8 @@ params = Parameters(
     physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
     simulation=SimulationParameters(tspan=(5.0, 6.0), use_MB=False),
     solver=SolverParameters(step=1 / 12, substeps=15),
-    hyper=Hyperparameters(optimizer=("adam",), learning_rate=(0.1,), epochs=(40,)),
+    hyper=Hyperparameters(optimizer=("adam",), learning_rate=(0.1,),
+                          epochs=(3 if SMOKE else 40,)),
     UDE=UDEParameters(grad="jax"),
 )
 

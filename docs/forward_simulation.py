@@ -17,6 +17,12 @@ if os.environ.get("JAX_PLATFORMS", "") not in ("", "tpu"):
 import jax
 import jax.numpy as jnp
 
+# ODINN_TUTORIAL_SMOKE=1 shrinks the run for the CI tutorial lane
+# (tests/test_tutorials.py) — the flow is identical, only budgets shrink
+SMOKE = os.environ.get("ODINN_TUTORIAL_SMOKE") == "1"
+YEARS = 1.0 if SMOKE else 5.0
+GRID = 48 if SMOKE else 96
+
 from odinn_tpu.core.params import (
     Parameters,
     PhysicalParameters,
@@ -33,7 +39,7 @@ from odinn_tpu.utils.plotting import plot_glacier, plot_glacier_vid, save_plot
 # 1. Parameters: 5 years, monthly saves, monthly mass balance
 params = Parameters(
     physical=PhysicalParameters(),
-    simulation=SimulationParameters(tspan=(2010.0, 2015.0), use_MB=True,
+    simulation=SimulationParameters(tspan=(2010.0, 2010.0 + YEARS), use_MB=True,
                                     step_MB=1 / 12, use_velocities=True),
     solver=SolverParameters(step=1 / 12, substeps=25),
 )
@@ -42,9 +48,9 @@ params = Parameters(
 #    use odinn_tpu.data.rgi.initialize_glaciers(rgi_ids, params) instead.
 glaciers = []
 for i, temp in enumerate([-18.0, -15.0, -22.0, -13.0]):
-    clim = monthly_dummy_climate(2010.0, 64, longterm_temp=temp, nx=96, ny=96)
+    clim = monthly_dummy_climate(2010.0, 64, longterm_temp=temp, nx=GRID, ny=GRID)
     glaciers.append(
-        halfar_glacier(nx=96, ny=96, dx=80.0, temp=temp, t_ic=2010.0 + 5.0,
+        halfar_glacier(nx=GRID, ny=GRID, dx=80.0, temp=temp, t_ic=2010.0 + 5.0,
                        climate=clim, rgi_id=f"tutorial-{i}")
     )
 

@@ -13,6 +13,11 @@ import os
 
 import jax.numpy as jnp
 
+# ODINN_TUTORIAL_SMOKE=1 shrinks the run for the CI tutorial lane
+# (tests/test_tutorials.py) — the flow is identical, only budgets shrink
+SMOKE = os.environ.get("ODINN_TUTORIAL_SMOKE") == "1"
+EPOCHS = (2, 2) if SMOKE else (30, 40)
+
 from odinn_tpu.core.params import (
     Hyperparameters,
     Parameters,
@@ -37,7 +42,7 @@ params = Parameters(
     simulation=SimulationParameters(tspan=(5.0, 6.5), use_MB=False),
     solver=SolverParameters(step=1 / 12, substeps=20),
     hyper=Hyperparameters(optimizer=("adam", "lbfgs"),
-                          learning_rate=(0.05, 1.0), epochs=(30, 40)),
+                          learning_rate=(0.05, 1.0), epochs=EPOCHS),
     UDE=UDEParameters(grad="jax", target="A"),
 )
 
@@ -51,7 +56,7 @@ nn = NeuralNetwork(default_architecture(1, light=True), seed=666)
 model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
 inv = Inversion(model=model, glaciers=glaciers, parameters=params)
 
-logger = TrainingLogger(".log/functional_inversion", total_iters=70)
+logger = TrainingLogger(".log/functional_inversion", total_iters=sum(EPOCHS))
 results = run_inversion(inv, callback=logger.callback)
 logger.close()
 

@@ -16,6 +16,10 @@ import tempfile
 
 workdir = tempfile.mkdtemp(prefix="odinn_quickstart_")
 
+# ODINN_TUTORIAL_SMOKE=1 shrinks the run for the CI tutorial lane
+# (tests/test_tutorials.py) — the flow is identical, only budgets shrink
+SMOKE = os.environ.get("ODINN_TUTORIAL_SMOKE") == "1"
+
 # ---- data: a (synthetic) RGI glacier directory -------------------------
 from odinn_tpu.data.rgi import generate_synthetic_rgi_dir, get_rgi_paths, initialize_glaciers
 
@@ -28,7 +32,7 @@ from odinn_tpu.core.params import Parameters, SimulationParameters, SolverParame
 
 params = Parameters(
     simulation=SimulationParameters(
-        tspan=(2010.0, 2015.0),
+        tspan=(2010.0, 2011.0) if SMOKE else (2010.0, 2015.0),
         use_MB=True,
         step_MB=1.0 / 12.0,
         rgi_paths=rgi_paths,

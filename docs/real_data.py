@@ -22,6 +22,10 @@ import tempfile
 import jax
 import numpy as np
 
+# ODINN_TUTORIAL_SMOKE=1 shrinks the run for the CI tutorial lane
+# (tests/test_tutorials.py) — the flow is identical, only budgets shrink
+SMOKE = os.environ.get("ODINN_TUTORIAL_SMOKE") == "1"
+
 from odinn_tpu.core.params import (
     Hyperparameters,
     Parameters,
@@ -57,7 +61,7 @@ params = Parameters(
     simulation=SimulationParameters(tspan=(2010.0, 2011.0), use_MB=True),
     solver=SolverParameters(step=1.0 / 12.0, solver="SI", cg_iters=20),
     hyper=Hyperparameters(optimizer=("adam", "lm"), learning_rate=(0.1, 1e-3),
-                          epochs=(40, 6), batch_size=8),
+                          epochs=(3, 1) if SMOKE else (40, 6), batch_size=8),
     UDE=UDEParameters(grad="jax", target="A"),
 )
 
@@ -88,5 +92,8 @@ print(f"loss: {L[0]:.4e} -> {results.stats.final_loss:.4e} "
 for i, g in enumerate(glaciers):
     a = float(eval_law(model.iceflow.A, inv.theta, g, glacier_idx=i))
     print(f"  {g.rgi_id}: inverted A = {a:.3e} (truth 4.5e-18)")
-assert results.stats.final_loss < 1e-2 * L[0]
+if not SMOKE:
+    # the smoke lane runs 4 iterations — the convergence gate needs the
+    # full staged budget
+    assert results.stats.final_loss < 1e-2 * L[0]
 print("real-data workflow OK")

@@ -91,21 +91,33 @@ class SolverParameters:
 
     Mirrors Huginn.SolverParameters (/root/reference/test/params_construction.jl:5-13).
     The reference defaults to the adaptive RDPK3Sp35 solver at ``reltol``
-    (inversion_utils.jl:559-568); here ``reltol`` is honored two ways:
+    (inversion_utils.jl:559-568); here ``reltol`` is honored three ways:
 
     - ``adaptive=True``: the error-controlled BS3(2) integrator at
       rtol = atol = reltol (forward-only — Prediction/ground truth; the
       while_loop has no reverse rule, so train_ude rejects it loudly).
-    - ``substeps="auto"``: one adaptive probe solve calibrates the fixed
-      substep count from reltol, which then drives the differentiable
-      ``lax.scan`` solve — the tolerance knob governing training too
-      (odinn_tpu.simulation.prediction.calibrate_substeps).
+    - ``adaptive="replay"``: record-and-replay — one adaptive forward per
+      glacier records its accepted dt sequence, which then drives a fixed
+      ``lax.scan`` replay that reproduces the error-controlled trajectory to
+      roundoff AND is reverse-differentiable: the exact gradient of the
+      adaptive solve with the accepted grid held fixed, the reference's
+      InterpolatingAdjoint-through-adaptive-solve contract
+      (UDEparameters.jl:14-80). Resolved by train_ude/run_prediction via
+      ``prediction.resolve_replay``.
+    - ``substeps="auto"``: probe solves calibrate the fixed substep count
+      from reltol, which then drives the differentiable ``lax.scan`` solve —
+      explicit solvers calibrate from one adaptive BS3(2) probe
+      (``prediction.calibrate_substeps``); the semi-implicit solvers (SI/SI2)
+      calibrate from Richardson step-halving probes whose free error
+      indicator auto-sizes substeps and cg_iters
+      (``prediction.calibrate_substeps_si``).
     """
 
     solver: str = "RK4"             # "RK4" | "SSPRK3" | "Euler" | "RKC" (stabilized
                                     # Chebyshev) | "SI" (semi-implicit, unconditionally
-                                    # stable) | "SI2" (Crank–Nicolson + midpoint
-                                    # diffusivity + Strang MB: 2nd-order at SI cost)
+                                    # stable) | "SI2" (Crank–Nicolson + Picard midpoint
+                                    # diffusivity: 2nd-order at ~1.6× SI cost; MB stays
+                                    # Lie-applied at interval ends — the model definition)
     reltol: float = 1e-8
     step: float = 1.0 / 12.0        # save/callback step (tstop spacing) [yr]
     substeps: Union[int, str] = 20  # fixed substeps per tstop interval (scan
@@ -119,7 +131,13 @@ class SolverParameters:
     progress: bool = False
     progress_steps: int = 10
     maxiters: int = 50_000
-    adaptive: bool = False          # error-controlled while_loop path (forward-only)
+    adaptive: Union[bool, str] = False  # True: error-controlled while_loop
+                                    # path (forward-only); "replay": record
+                                    # accepted dts once, replay as a fixed
+                                    # differentiable schedule (see class doc)
+    replay_dts: Any = None          # resolved recorded schedule, shape
+                                    # (n_glaciers, n_intervals, cap) — set by
+                                    # prediction.resolve_replay, not by hand
     remat: bool = True              # rematerialize intervals in reverse-mode
                                     # (O(n_tstops) memory); False trades memory
                                     # for backward speed on small problems

@@ -62,7 +62,7 @@ import numpy as np
 from jax.flatten_util import ravel_pytree
 
 __all__ = ["estimate_sigma2", "laplace_posterior", "laplace_uncertainty",
-           "LaplacePosterior"]
+           "LaplacePosterior", "whitened_calibration"]
 
 
 def estimate_sigma2(r, n_params: int):
@@ -77,6 +77,59 @@ def estimate_sigma2(r, n_params: int):
     n_eff = int(np.sum(r != 0.0))
     dof = n_eff - n_params if n_eff > n_params else max(n_eff, 1)
     return float(np.sum(r * r) / dof)
+
+
+def _chi2_sf(x: float, k: int) -> float:
+    """Survival function of χ²_k at x (Wilson–Hilferty normal approximation —
+    accurate to ~1e-3 for k ≥ 3, exact enough to judge calibration without a
+    scipy dependency)."""
+    import math
+
+    if k <= 0:
+        return float("nan")
+    z = ((x / k) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * k))) / math.sqrt(2.0 / (9.0 * k))
+    return 0.5 * math.erfc(z / math.sqrt(2.0))
+
+
+def whitened_calibration(d, C, rel_tol: float = 1e-10):
+    """Joint (whitened) calibration of an error vector against its claimed
+    covariance: is ``d`` plausibly a draw from N(0, C)?
+
+    Pointwise |z| and coverage fractions CANNOT falsify a posterior whose
+    outputs share parameters (an NN law's band: all temperature points move
+    together under shared θ, so 100 % pointwise coverage is equally
+    consistent with "calibrated" and "3× inflated"). Whitening removes the
+    correlation: eigendecompose C = V diag(λ) Vᵀ, keep the numerically
+    resolved modes λ > rel_tol·λ_max (an NN-law G has rank ≤ p, and the
+    smooth law concentrates variance in a few modes), and score
+    z_k = (vₖ·d)/√λ_k. Under a calibrated posterior z ~ N(0, I_r), so
+    T = Σ z_k² ~ χ²_r — one number the measurement can actually reject:
+    T/r ≫ 1 ⇒ overconfident, T/r ≪ 1 (p_value → 1) ⇒ inflated band.
+
+    Returns a dict: effective rank ``r``, ``T``, ``T_over_r``, two-sided
+    ``p_value`` (min(sf, 1−sf)·2 of χ²_r), ``max_abs_z`` and ``median_abs_z``
+    over the whitened modes. numpy float64.
+    """
+    d = np.ravel(np.asarray(d, np.float64))
+    C = np.asarray(C, np.float64)
+    lam, V = np.linalg.eigh(0.5 * (C + C.T))
+    keep = lam > rel_tol * max(float(lam.max()), 0.0)
+    r = int(np.sum(keep))
+    if r == 0:
+        return {"rank": 0, "T": float("nan"), "T_over_r": float("nan"),
+                "p_value": float("nan"), "max_abs_z": float("nan"),
+                "median_abs_z": float("nan")}
+    z = (V[:, keep].T @ d) / np.sqrt(lam[keep])
+    T = float(z @ z)
+    sf = _chi2_sf(T, r)
+    return {
+        "rank": r,
+        "T": T,
+        "T_over_r": T / r,
+        "p_value": float(min(sf, 1.0 - sf) * 2.0),
+        "max_abs_z": float(np.abs(z).max()),
+        "median_abs_z": float(np.median(np.abs(z))),
+    }
 
 
 @dataclasses.dataclass
@@ -131,6 +184,28 @@ class LaplacePosterior:
             variances = np.array([g @ self._solve(g) for g in G_flat])
         stds = np.sqrt(np.maximum(variances, 0.0)).reshape(np.shape(q))
         return q, stds
+
+    def cov_band(self, vector_fn: Callable):
+        """(values, FULL output covariance) of vector ``vector_fn(theta)``:
+        C = G Σ Gᵀ with G = ∂(vector_fn)/∂θ|θ* — the joint posterior law of
+        the whole output vector, not just its pointwise stds
+        (:meth:`band` returns ``sqrt(diag(C))``).
+
+        This is what joint calibration needs: when θ is SHARED across the
+        outputs (an NN law swept over a temperature grid), pointwise z-scores
+        are strongly correlated and coverage fractions cannot distinguish a
+        calibrated posterior from an inflated one — whiten against C instead
+        (:func:`whitened_calibration`). numpy float64.
+        """
+        q = jax.jit(vector_fn)(self.theta)
+        G = jax.jit(jax.jacrev(lambda th: jnp.ravel(vector_fn(th))))(self.theta)
+        G_flat = np.asarray(jax.vmap(lambda *leaves: jnp.concatenate(
+            [jnp.ravel(l) for l in leaves]))(*jax.tree.leaves(G)), np.float64)
+        if self._cov is not None:
+            C = G_flat @ self._cov @ G_flat.T
+        else:
+            C = G_flat @ np.stack([self._solve(g) for g in G_flat], axis=1)
+        return q, 0.5 * (C + C.T)
 
     def theta_std(self):
         """Elementwise posterior std of θ (pytree like θ, numpy float64)."""

@@ -178,8 +178,9 @@ def si_step_pallas(H, H_D, B, x0, scalars, dt, theta=1.0, cg_iters=6,
     H, H_D, B, x0: (n_g, nx, ny); ``scalars``: the (n_g, 8) derived table
     (rkc_kernel.derived_scalars — first 4 columns consumed; exponents are
     static via ``exps`` = (n+2, n−1, p−q+1, p−1)); dt, theta, cg_iters, exps
-    static. Differentiable w.r.t. H, H_D, x0 and the creep column of
-    ``scalars`` via the jnp mirror (custom_vjp).
+    static. Differentiable w.r.t. H, H_D, B, x0 and the creep/slide columns of
+    ``scalars`` via the jnp mirror (custom_vjp); the dx/dy geometry columns
+    get zero cotangents (grid spacing is not trainable).
     """
     return _forward(H, H_D, B, x0, scalars, dt, theta, cg_iters, exps)
 
@@ -219,16 +220,20 @@ def _fwd(H, H_D, B, x0, scalars, dt, theta, cg_iters, exps):
 
 
 def _bwd(dt, theta, cg_iters, exps, res, lam):
+    # full pullback via the jnp mirror: H, H_D, B, x0 and the creep/slide
+    # scalar columns all get exact cotangents (the mirror is the same math, so
+    # these are free); only the dx/dy geometry columns stay zero — grid
+    # spacing is not a trainable quantity anywhere in the framework
     H, H_D, B, x0, scalars = res
 
-    def f(h, hd, x0_, creep_col):
-        sc = scalars.at[:, 2].set(creep_col)
-        return si_step_reference(h, hd, B, x0_, sc, dt, theta, cg_iters, exps)
+    def f(h, hd, b, x0_, creep_col, slide_col):
+        sc = scalars.at[:, 2].set(creep_col).at[:, 3].set(slide_col)
+        return si_step_reference(h, hd, b, x0_, sc, dt, theta, cg_iters, exps)
 
-    _, pb = jax.vjp(f, H, H_D, x0, scalars[:, 2])
-    dH, dHD, dx0, dcreep = pb(lam)
-    d_scal = jnp.zeros_like(scalars).at[:, 2].set(dcreep)
-    return dH, dHD, jnp.zeros_like(B), dx0, d_scal
+    _, pb = jax.vjp(f, H, H_D, B, x0, scalars[:, 2], scalars[:, 3])
+    dH, dHD, dB, dx0, dcreep, dslide = pb(lam)
+    d_scal = jnp.zeros_like(scalars).at[:, 2].set(dcreep).at[:, 3].set(dslide)
+    return dH, dHD, dB, dx0, d_scal
 
 
 si_step_pallas.defvjp(_fwd, _bwd)

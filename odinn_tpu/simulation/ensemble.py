@@ -142,11 +142,13 @@ def multistart_train(
         if opt_name not in ("lbfgs", "bfgs", "lm", "gn", "gauss_newton",
                             "gauss-newton"):
             raise ValueError(f"unknown refinement stage {opt_name!r}")
-    if refine_stages and refine_top_k is None:
+    if refine_stages and not refine_top_k:
+        # refine_top_k=0 would otherwise silently drop the configured
+        # curvature stages at the truthiness check below
         raise ValueError(
             "multistart_train explores with Adam stages only (got "
-            f"{refine_stages[0][0]!r}); either pass refine_top_k=k to run the "
-            "curvature stages on the best k restarts, or run them on the "
+            f"{refine_stages[0][0]!r}); either pass refine_top_k >= 1 to run "
+            "the curvature stages on the best k restarts, or run them on the "
             "winner via run_inversion(inversion) afterwards — it warm-starts "
             "at the best θ this function selects"
         )

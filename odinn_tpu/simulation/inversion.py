@@ -478,21 +478,48 @@ def train_ude(
     batch = inversion.glaciers
     tstops = assemble_tstops(params, batch)
     theta = inversion.theta
-    if params.solver.adaptive:
+    if params.solver.adaptive == "replay":
+        # record-and-replay: the accepted dt sequence of one error-controlled
+        # forward becomes a fixed differentiable schedule (prediction.py
+        # resolve_replay) — the reference's gradient-through-adaptive-solve
+        # contract (UDEparameters.jl:14-80) under grad="jax"/"forward"
+        grad_cfg = params.UDE.grad
+        grad_kind = grad_cfg if isinstance(grad_cfg, str) else getattr(grad_cfg, "name", "jax")
+        if grad_kind not in ("jax", "sciml", "forward", "dummy"):
+            raise ValueError(
+                f"solver.adaptive='replay' replays the BS3(2) stepper, which "
+                f"the manual adjoints do not transpose — use grad='jax' (or "
+                f"'forward'), got grad={grad_kind!r}"
+            )
+        from odinn_tpu.simulation.prediction import resolve_replay
+
+        params = resolve_replay(params, batch, model, theta, tstops)
+        inversion.parameters = params
+    elif params.solver.adaptive:
         raise ValueError(
             "solver.adaptive error-controlled integration is forward-only "
             "(lax.while_loop has no reverse-mode rule) — it serves "
             "Prediction/generate_ground_truth. For training, either set "
-            "fixed solver.substeps/rkc_stages/cg_iters, or set "
-            "substeps='auto' to calibrate fixed substeps from solver.reltol "
-            "via one adaptive probe solve (with adaptive=False)."
+            "adaptive='replay' (record the accepted dt schedule once, replay "
+            "it as a fixed differentiable schedule), set fixed "
+            "solver.substeps/rkc_stages/cg_iters, or set substeps='auto' to "
+            "calibrate fixed substeps from solver.reltol via probe solves "
+            "(with adaptive=False)."
         )
-    if params.solver.substeps == "auto":
+    substeps_auto = params.solver.substeps == "auto"
+    if substeps_auto:
         from odinn_tpu.simulation.prediction import resolve_substeps
 
         params = resolve_substeps(params, batch, model, theta, tstops)
         # the adjoint drivers and create_results read inversion.parameters
         inversion.parameters = params
+    # probe-staleness guard: the 'auto' calibration probes at the INITIAL θ;
+    # if the optimizer drives creep/diffusivity up, an explicit-solver sizing
+    # can silently leave its stability region mid-training. Re-probe at every
+    # stage boundary and bump substeps (re-jitting the steps) when the current
+    # θ needs more. SI/SI2 are exempt: unconditionally stable, their sizing is
+    # an accuracy budget, not a stability bound.
+    substeps_guard = substeps_auto and params.solver.solver not in ("SI", "SI2")
     orig_batch = batch
     n_results = batch.H0.shape[0]
 
@@ -512,6 +539,7 @@ def train_ude(
 
     stats = TrainingStats()
     stats._record_theta_hist = record_theta_hist
+    stats.substeps_bumps = []   # (niter, old, new) per staleness-guard bump
     vg = _make_grad_fn(inversion, loss_fn_b)
 
     # Best-iterate tracking (full-batch only: minibatch losses are stochastic
@@ -567,6 +595,40 @@ def train_ude(
             best_val = jnp.asarray(v_end, jnp.result_type(best_val))
             best_theta = theta
         return best_theta
+
+    def _recheck_substeps(theta):
+        """Probe-staleness guard for ``substeps="auto"`` on EXPLICIT solvers:
+        the initial calibration probed at the initial θ; if the optimizer has
+        since raised creep/diffusivity, the sizing can silently leave the
+        explicit stability region. Re-probe at the current θ and, when more
+        substeps are needed, bump the count for the remaining stages (the
+        cached jitted steps are rebuilt — an honest recompile, traded against
+        silently integrating an unstable ODE)."""
+        nonlocal params, eval_loss, vg
+        from odinn_tpu.simulation.prediction import calibrate_substeps
+
+        needed = calibrate_substeps(theta, batch, model, params, tstops)
+        cur = int(params.solver.substeps)
+        if needed <= cur:
+            return
+        print(f"[odinn_tpu] substeps='auto' probe went stale: current θ needs "
+              f"{needed} substeps/interval (calibrated {cur} at the initial "
+              f"θ) — re-sizing and re-jitting the remaining stages")
+        params = params.replace(
+            solver=dataclasses.replace(params.solver, substeps=int(needed)))
+        inversion.parameters = params
+        stats.substeps_bumps.append((stats.niter, cur, int(needed)))
+        # loss_fn_b reads `params` late-bound; fresh jit wrappers force the
+        # retrace, and clearing the shared-step cache rebuilds the optimizers
+        _shared_steps.clear()
+        eval_loss = jax.jit(loss_fn_b)
+        vg = _make_grad_fn(inversion, loss_fn_b)
+
+    def _end_stage(theta):
+        theta = _stage_boundary(theta)
+        if substeps_guard:
+            _recheck_substeps(theta)
+        return theta
 
     # Adam/AdamW steps are built ONCE and shared across stages, with the
     # learning rate riding in the optimizer state (optax.inject_hyperparams)
@@ -632,7 +694,8 @@ def train_ude(
         )
     rng = np.random.default_rng(0)
 
-    for opt_name, lr, epochs in _stages(params.hyper):
+    def _run_stage(opt_name, lr, epochs):
+        nonlocal theta, best_val, best_theta
         opt_name = opt_name.lower()
         if opt_name in ("adam", "adamw"):
             opt, step, step_mb = _adam_machinery(opt_name)
@@ -653,8 +716,8 @@ def train_ude(
                     if callback is not None:
                         callback(stats)
                 _flush(pending, theta, time.time() - t_stage)
-                theta = _stage_boundary(theta)
-                continue
+                theta = _end_stage(theta)
+                return
 
             _init_best(theta)
 
@@ -670,7 +733,7 @@ def train_ude(
                 if callback is not None:
                     callback(stats)
             _flush(pending, theta, time.time() - t_stage)
-            theta = _stage_boundary(theta)
+            theta = _end_stage(theta)
         elif opt_name in ("lbfgs", "bfgs"):
             ls_name = params.hyper.lbfgs_linesearch
             if ls_name == "auto":
@@ -727,7 +790,7 @@ def train_ude(
                 if callback is not None:
                     callback(stats)
             _flush(pending, theta, time.time() - t_stage)
-            theta = _stage_boundary(theta)
+            theta = _end_stage(theta)
         elif opt_name in ("lm", "gn", "gauss_newton", "gauss-newton"):
             # second-order stage: matrix-free Levenberg–Marquardt on the
             # least-squares transient loss (inverse.gauss_newton) — quadratic
@@ -790,9 +853,48 @@ def train_ude(
                 if lm_best < float(best_val):
                     best_val = jnp.asarray(lm_best, jnp.result_type(best_val))
                     best_theta = theta
-            theta = _stage_boundary(theta)
+            theta = _end_stage(theta)
         else:
             raise ValueError(f"unknown optimizer {opt_name!r}")
+
+    def _recover_instability():
+        """In-flight stability failure under substeps='auto': the loss went
+        non-finite mid-stage — the optimizer left the initial probe's
+        stability region between boundary rechecks. Rewind θ to the best
+        finite iterate, re-probe there, bump substeps by at least 2× (a
+        probe at the rewound θ may still be sized below where the optimizer
+        is heading), rebuild the jitted steps, and rerun the stage."""
+        nonlocal theta, params, eval_loss, vg
+        from odinn_tpu.simulation.prediction import calibrate_substeps
+
+        theta = best_theta
+        cur = int(params.solver.substeps)
+        needed = max(calibrate_substeps(theta, batch, model, params, tstops),
+                     2 * cur)
+        print(f"[odinn_tpu] substeps='auto': non-finite loss mid-stage — "
+              f"rewinding to the best iterate, re-sizing {cur} → {needed} "
+              f"substeps/interval, and rerunning the stage")
+        params = params.replace(
+            solver=dataclasses.replace(params.solver, substeps=int(needed)))
+        inversion.parameters = params
+        stats.substeps_bumps.append((stats.niter, cur, int(needed)))
+        _shared_steps.clear()
+        eval_loss = jax.jit(loss_fn_b)
+        vg = _make_grad_fn(inversion, loss_fn_b)
+
+    for opt_name, lr, epochs in _stages(params.hyper):
+        attempts = 0
+        while True:
+            try:
+                _run_stage(opt_name, lr, epochs)
+                break
+            except FloatingPointError:
+                # recoverable only when the staleness guard owns the sizing
+                # and a finite best iterate exists to rewind to
+                if not substeps_guard or best_theta is None or attempts >= 3:
+                    raise
+                attempts += 1
+                _recover_instability()
 
     # adopt the best iterate (loss is recorded for θ *before* each update, so
     # the final θ's loss is unknown — compare it before deciding)

@@ -27,8 +27,8 @@ from odinn_tpu.physics.sia2d import sia2d_rhs, v_from_h
 from odinn_tpu.simulation.solver import build_tstops, integrate_scan
 
 __all__ = ["forward_glacier", "forward_batch", "calibrate_substeps",
-           "resolve_substeps", "Prediction", "run_prediction",
-           "generate_ground_truth"]
+           "calibrate_substeps_si", "resolve_substeps", "resolve_replay",
+           "Prediction", "run_prediction", "generate_ground_truth"]
 
 
 def _mb_every(params) -> int:
@@ -46,6 +46,7 @@ def forward_glacier(
     tstops,
     H0=None,
     _return_stats: bool = False,
+    _return_dts: int = 0,
 ):
     """Solve one glacier over ``tstops``; returns the trajectory (T, nx, ny).
 
@@ -62,7 +63,15 @@ def forward_glacier(
     reverse rule); training paths either use fixed substeps or calibrate them
     from ``reltol`` via ``substeps="auto"`` (:func:`calibrate_substeps`).
     ``_return_stats`` (adaptive only) additionally returns per-interval
-    accepted step counts.
+    accepted step counts; ``_return_dts=cap`` (adaptive only) additionally
+    returns the accepted dt record consumed by :func:`resolve_replay`.
+
+    With ``params.solver.adaptive == "replay"`` the solve replays the
+    recorded accepted-dt schedule in ``params.solver.replay_dts`` (set by
+    :func:`resolve_replay`) as a fixed, reverse-differentiable ``lax.scan``
+    — the record-and-replay strategy for the reference's
+    gradient-through-adaptive-solve contract
+    (/root/reference/src/parameters/UDEparameters.jl:14-80).
     """
     phys = params.physical
     t0 = tstops[0]
@@ -101,12 +110,29 @@ def forward_glacier(
                 "(callback_freq > 0): their values ride the fixed-shape scan "
                 "carry; use a fixed-substep solver for periodic-law models"
             )
+        if params.solver.adaptive == "replay":
+            if params.solver.replay_dts is None:
+                raise ValueError(
+                    "solver.adaptive='replay' needs the recorded step schedule "
+                    "— train_ude/run_prediction resolve it automatically; when "
+                    "driving forward_glacier directly, call "
+                    "odinn_tpu.simulation.prediction.resolve_replay(params, "
+                    "batch, model, theta, tstops) first"
+                )
+            from odinn_tpu.simulation.solver import integrate_replay
+
+            dts_g = jnp.asarray(params.solver.replay_dts)[glacier_idx]
+            return integrate_replay(
+                rhs, H0, tstops, dts_g,
+                callback=callback, checkpoint=params.solver.remat,
+            )
         from odinn_tpu.simulation.solver import integrate_adaptive
 
         return integrate_adaptive(
             rhs, H0, tstops,
             rtol=params.solver.reltol, atol=params.solver.reltol,
             callback=callback, return_stats=_return_stats,
+            return_dts=_return_dts,
         )
     if isinstance(params.solver.substeps, str):
         raise ValueError(
@@ -148,9 +174,9 @@ def forward_glacier(
     if method == "SI2":
         raise NotImplementedError(
             "solver='SI2' does not support periodic laws (callback_freq > 0): "
-            "the Strang MB halves and the law-refresh cadence would interleave "
-            "ambiguously — use solver='SI' (first-order splitting) or an "
-            "explicit solver for periodic-law models"
+            "the periodic-law interval loop drives single steps and does not "
+            "carry the predictor–corrector warm-start state — use solver='SI' "
+            "or an explicit solver for periodic-law models"
         )
     step_fn = None if method == "SI" else get_stepper(method, params.solver.rkc_stages)
     substeps = params.solver.substeps
@@ -240,24 +266,145 @@ def calibrate_substeps(theta, batch, model, params, tstops, safety: float = 1.5)
     return max(int(math.ceil(float(jnp.max(naccs)) * safety)), 1)
 
 
+def calibrate_substeps_si(theta, batch, model, params, tstops,
+                          max_substeps: int = 1024, cg_probe: int = 64,
+                          cg_candidates=(4, 6, 8, 12, 16, 24, 32, 48)):
+    """Size ``substeps`` AND ``cg_iters`` for the semi-implicit solvers (SI /
+    SI2) from ``solver.reltol`` by Richardson step-halving.
+
+    The semi-implicit solvers are unconditionally stable, so their substep
+    count controls *accuracy* (splitting/linearization error: O(dt) for SI,
+    O(dt²) for SI2), not stability — the adaptive BS3(2) probe that sizes the
+    explicit solvers measures the wrong thing for them. Instead:
+
+    1. **Substeps** (time-discretization error): with a generous CG budget
+       (``cg_probe``, isolating splitting error from algebraic error), run
+       the full forward at ``n`` and ``2n`` substeps and form the Richardson
+       indicator ``err = max |H_n − H_2n| / (reltol + reltol·max(|H_n|,
+       |H_2n|))`` over the whole trajectory — for a method of order p this
+       estimates the error of the *coarser* run to within a factor
+       (1 − 2⁻ᵖ). Double ``n`` until ``err ≤ 1`` and return ``2n``: the
+       finer run's own error is then ≤ reltol/2 (SI) / reltol/4 (SI2), the
+       built-in safety margin.
+    2. **cg_iters** (algebraic error): at the chosen substeps, find the
+       smallest candidate whose trajectory stays within reltol/2 (scaled) of
+       the ``cg_probe`` reference, so the CG truncation consumes at most
+       half the error budget.
+
+    This is the tolerance contract the reference gets from its adaptive
+    solver (``reltol = params.solver.reltol``,
+    /root/reference/src/simulations/inversions/inversion_utils.jl:559-568;
+    test/params_construction.jl:5-13), transferred onto the fixed-shape
+    production solvers. A handful of one-time forward solves, amortized over
+    every epoch. Returns ``(substeps, cg_iters)``.
+    """
+    reltol = params.solver.reltol
+
+    def run(n, cg):
+        p = params.replace(solver=dataclasses.replace(
+            params.solver, substeps=int(n), cg_iters=int(cg),
+            cg_iters_predictor=max(int(cg) // 2,
+                                   params.solver.cg_iters_predictor),
+            adaptive=False,
+        ))
+        return jax.jit(
+            lambda th, b: forward_batch(th, b, model, p, tstops)
+        )(theta, batch)
+
+    def scaled_err(a, b):
+        scale = reltol + reltol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+        return float(jnp.max(jnp.abs(a - b) / scale))
+
+    n = 1
+    traj_n = run(n, cg_probe)
+    while True:
+        traj_2n = run(2 * n, cg_probe)
+        if scaled_err(traj_n, traj_2n) <= 1.0:
+            substeps = 2 * n
+            ref = traj_2n
+            break
+        n *= 2
+        traj_n = traj_2n
+        if 2 * n > max_substeps:
+            raise ValueError(
+                f"calibrate_substeps_si: reltol={reltol:g} not reached at "
+                f"{max_substeps} substeps/interval — the splitting error "
+                "floor of the semi-implicit discretization is above the "
+                "requested tolerance here; loosen reltol or use an explicit "
+                "solver (substeps='auto' with solver='SSPRK3'/'RK4')"
+            )
+    cg = cg_probe
+    for c in cg_candidates:
+        if c >= cg_probe:
+            break
+        if scaled_err(run(substeps, c), ref) <= 0.5:
+            cg = c
+            break
+    return substeps, cg
+
+
 def resolve_substeps(params, batch, model, theta, tstops):
     """Resolve ``solver.substeps == "auto"`` into a concrete count via
-    :func:`calibrate_substeps`; a no-op for integer substeps."""
+    :func:`calibrate_substeps` (explicit solvers: one adaptive BS3(2) probe)
+    or :func:`calibrate_substeps_si` (SI/SI2: Richardson step-halving probes,
+    which also size ``cg_iters``); a no-op for integer substeps."""
     if params.solver.substeps != "auto":
         return params
     if params.solver.solver in ("SI", "SI2"):
-        raise ValueError(
-            "substeps='auto' calibrates explicit-solver substeps from "
-            "solver.reltol; the semi-implicit solvers' error is operator "
-            "splitting (O(dt) for SI, O(dt²) for SI2), not stability — set "
-            "integer solver.substeps (and cg_iters), or pick an explicit "
-            "solver"
+        n, cg = calibrate_substeps_si(theta, batch, model, params, tstops)
+        print(f"[odinn_tpu] substeps='auto' ({params.solver.solver}): "
+              f"calibrated {n} substeps/interval, cg_iters={cg} from "
+              f"reltol={params.solver.reltol:g} (Richardson step-halving)")
+        return params.replace(
+            solver=dataclasses.replace(params.solver, substeps=n, cg_iters=cg)
         )
     n = calibrate_substeps(theta, batch, model, params, tstops)
     print(f"[odinn_tpu] substeps='auto': calibrated {n} substeps/interval "
           f"from reltol={params.solver.reltol:g} (adaptive BS3(2) probe)")
     return params.replace(
         solver=dataclasses.replace(params.solver, substeps=n)
+    )
+
+
+def resolve_replay(params, batch, model, theta, tstops):
+    """Resolve ``solver.adaptive == "replay"`` into a recorded accepted-dt
+    schedule in ``solver.replay_dts``; a no-op otherwise (or when already
+    resolved).
+
+    Two probe solves per glacier (vmapped, jitted — each is one adaptive
+    BS3(2) forward at rtol = atol = reltol): the first counts accepted steps
+    per save interval to size the record exactly (so recording overflow
+    cannot occur), the second re-runs the identical deterministic solve
+    recording every accepted dt. The schedule then drives
+    :func:`odinn_tpu.simulation.solver.integrate_replay` — a fixed
+    ``lax.scan`` that reproduces the error-controlled trajectory to roundoff
+    and is reverse-differentiable: the exact gradient of the adaptive solve
+    with the accepted time grid held fixed, the reference's
+    InterpolatingAdjoint-through-adaptive-solve contract
+    (/root/reference/src/parameters/UDEparameters.jl:14-80).
+    """
+    if params.solver.adaptive != "replay" or params.solver.replay_dts is not None:
+        return params
+    p_ad = params.replace(
+        solver=dataclasses.replace(params.solver, adaptive=True)
+    )
+    idxs = jnp.arange(batch.H0.shape[0])
+    _, naccs = jax.jit(jax.vmap(
+        lambda g, i: forward_glacier(theta, g, i, model, p_ad, tstops,
+                                     _return_stats=True)
+    ))(batch, idxs)
+    cap = int(jnp.max(naccs))
+    _, dts = jax.jit(jax.vmap(
+        lambda g, i: forward_glacier(theta, g, i, model, p_ad, tstops,
+                                     _return_dts=cap)
+    ))(batch, idxs)
+    total = int(jnp.sum(naccs))
+    print(f"[odinn_tpu] adaptive='replay': recorded {total} accepted steps "
+          f"({batch.H0.shape[0]} glaciers × {int(naccs.shape[1])} intervals, "
+          f"cap {cap}/interval) at reltol={params.solver.reltol:g}")
+    return params.replace(
+        solver=dataclasses.replace(params.solver,
+                                   replay_dts=jax.device_get(dts))
     )
 
 
@@ -295,6 +442,8 @@ def run_prediction(pred: Prediction, tstops=None):
         tstops = build_tstops(params.simulation.tspan, params.solver.step)
     theta = pred.theta
     params = resolve_substeps(params, pred.glaciers, pred.model, theta, tstops)
+    params = resolve_replay(params, pred.glaciers, pred.model, theta, tstops)
+    pred.parameters = params
 
     fwd = jax.jit(
         lambda th, batch: forward_batch(th, batch, pred.model, params, tstops)

@@ -37,6 +37,7 @@ __all__ = [
     "build_tstops",
     "integrate_scan",
     "integrate_adaptive",
+    "integrate_replay",
     "rk4_step",
     "ssprk3_step",
     "euler_step",
@@ -385,6 +386,7 @@ def integrate_adaptive(
     max_steps_per_interval: int = 100_000,
     callback: Optional[Callable] = None,
     return_stats: bool = False,
+    return_dts: int = 0,
 ):
     """Adaptive BS3(2) integration hitting every tstop exactly.
 
@@ -403,9 +405,19 @@ def integrate_adaptive(
     ``return_stats=True`` additionally returns the per-interval ACCEPTED step
     counts, shape ``(len(tstops) - 1,)`` — the calibration signal
     ``substeps="auto"`` uses to size the fixed-shape training integrators.
+
+    ``return_dts=cap`` (int > 0) additionally returns the accepted step
+    lengths per interval, shape ``(len(tstops) - 1, cap)``, zero-padded past
+    each interval's accepted count — the record that
+    :func:`integrate_replay` re-executes as a concrete (differentiable) step
+    sequence. Accepted steps beyond ``cap`` are DROPPED from the record (the
+    trajectory itself is unaffected); callers must check the accepted counts
+    (``return_stats``) against ``cap`` — ``resolve_replay`` sizes ``cap``
+    from a counting probe first so overflow cannot occur.
     """
     tstops = jnp.asarray(tstops, dtype=jnp.result_type(y0))
     dt_init = jnp.asarray(dt0 if dt0 is not None else (tstops[1] - tstops[0]) / 100.0, y0.dtype)
+    record = int(return_dts) > 0
 
     def err_norm(err, y_a, y_b):
         scale = atol + rtol * jnp.maximum(jnp.abs(y_a), jnp.abs(y_b))
@@ -414,13 +426,14 @@ def integrate_adaptive(
     def interval(carry, xs):
         t0i, t1, i = xs
         y, t, dt, k1, nfe = carry
+        dts0 = jnp.zeros((int(return_dts),), tstops.dtype) if record else jnp.zeros((0,), tstops.dtype)
 
         def cond(state):
-            y, t, dt, k1, it, nacc, nfe = state
+            y, t, dt, k1, it, nacc, nfe, dts = state
             return (t < t1 - 1e-12) & (it < max_steps_per_interval)
 
         def body(state):
-            y, t, dt, k1, it, nacc, nfe = state
+            y, t, dt, k1, it, nacc, nfe, dts = state
             dt_eff = jnp.minimum(dt, t1 - t)
             y3, err, k4 = _bs32_step(rhs, y, t, dt_eff, k1)
             en = err_norm(err, y, y3)
@@ -430,23 +443,94 @@ def integrate_adaptive(
             y = jnp.where(accept, y3, y)
             t = jnp.where(accept, t + dt_eff, t)
             k1 = jax.tree.map(lambda new, old: jnp.where(accept, new, old), k4, k1)
+            if record:
+                # record accepted dts at the accepted-count cursor; rejected
+                # trials write dt 0 at an index that the next accept reuses
+                dts = dts.at[nacc].set(jnp.where(accept, dt_eff, dts[nacc]),
+                                       mode="drop")
             # on reject, k1 at (y, t) is unchanged (FSAL only advances on accept)
-            return (y, t, dt_new, k1, it + 1, nacc + accept, nfe + 3)
+            return (y, t, dt_new, k1, it + 1, nacc + accept, nfe + 3, dts)
 
-        y, t, dt, k1, _, nacc, nfe = lax.while_loop(
-            cond, body, (y, t, dt, k1, 0, jnp.asarray(0), nfe))
+        y, t, dt, k1, _, nacc, nfe, dts = lax.while_loop(
+            cond, body, (y, t, dt, k1, 0, jnp.asarray(0), nfe, dts0))
         if callback is not None:
             y = callback(y, t0i, t1, i)
             k1 = rhs(y, t1)          # state jumped; FSAL derivative is stale
             nfe = nfe + 1
-        return (y, t, dt, k1, nfe), (y, nacc)
+        return (y, t, dt, k1, nfe), (y, nacc, dts)
 
     k1_0 = rhs(y0, tstops[0])
     idxs = jnp.arange(tstops.shape[0] - 1)
     carry0 = (y0, tstops[0], dt_init, k1_0, jnp.asarray(1))
-    (yf, tf, dtf, k1f, nfe), (traj, naccs) = lax.scan(
+    (yf, tf, dtf, k1f, nfe), (traj, naccs, dts) = lax.scan(
         interval, carry0, (tstops[:-1], tstops[1:], idxs))
     traj = jnp.concatenate([y0[None], traj], axis=0)
+    extras = ()
     if return_stats:
-        return traj, naccs
+        extras = extras + (naccs,)
+    if record:
+        extras = extras + (dts,)
+    if extras:
+        return (traj,) + extras
     return traj
+
+
+def _bs3_step(f, y, t, dt):
+    """One (non-embedded) Bogacki–Shampine 3rd-order step — the exact update
+    :func:`_bs32_step` applies on accept (its y3 does not involve the FSAL
+    stage k4, and its k1 = f(y, t) is what a fresh evaluation computes), so a
+    replay of recorded accepted dts through this stepper reproduces the
+    adaptive trajectory to roundoff."""
+    k1 = f(y, t)
+    k2 = f(y + 0.5 * dt * k1, t + 0.5 * dt)
+    k3 = f(y + 0.75 * dt * k2, t + 0.75 * dt)
+    return y + dt * (2.0 * k1 + 3.0 * k2 + 4.0 * k3) / 9.0
+
+
+def integrate_replay(
+    rhs: Callable,
+    y0,
+    tstops,
+    dts,
+    callback: Optional[Callable] = None,
+    checkpoint: bool = True,
+):
+    """Replay a recorded adaptive solve as a concrete, DIFFERENTIABLE step
+    sequence (the record-and-replay adjoint strategy: the reference
+    differentiates through its adaptive RDPK3Sp35 solve via
+    InterpolatingAdjoint, /root/reference/src/parameters/UDEparameters.jl:14-80;
+    here the accepted dt sequence of one error-controlled BS3(2) forward
+    becomes a fixed ``lax.scan`` schedule that reverse-mode AD and the
+    checkpointed-interval machinery handle like any fixed-substep solve).
+
+    ``dts``: shape ``(len(tstops) - 1, cap)`` — per-interval accepted step
+    lengths from ``integrate_adaptive(..., return_dts=cap)``, zero-padded.
+    Zero-length steps are exact no-ops of the BS3 update (y + 0·k ≡ y), so
+    padding costs FLOPs but not accuracy; gradients through padded steps are
+    exactly the identity. The replayed trajectory equals the adaptive one to
+    roundoff, and its gradient is the exact gradient of the replayed
+    (= error-controlled) trajectory with the step sizes held fixed — the same
+    convention as the reference's interpolating adjoint, which also treats
+    the accepted time grid as data.
+    """
+    tstops = jnp.asarray(tstops, dtype=jnp.result_type(y0))
+    dts = jnp.asarray(dts, dtype=tstops.dtype)
+    t0s, t1s = tstops[:-1], tstops[1:]
+    idxs = jnp.arange(t0s.shape[0])
+
+    def interval(y, xs):
+        t0, t1, i, dts_i = xs
+
+        def sub(carry, dt):
+            yc, tc = carry
+            yn = _bs3_step(rhs, yc, tc, dt)
+            return (yn, tc + dt), None
+
+        (y, _), _ = lax.scan(sub, (y, t0), dts_i)
+        if callback is not None:
+            y = callback(y, t0, t1, i)
+        return y, y
+
+    body = jax.checkpoint(interval) if checkpoint else interval
+    _, traj = lax.scan(body, y0, (t0s, t1s, idxs, dts))
+    return jnp.concatenate([y0[None], traj], axis=0)

@@ -112,6 +112,37 @@ def test_si_kernel_gradient_matches_fd():
     np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-5)
 
 
+def test_si_kernel_slide_and_bed_gradients_match_fd():
+    """ADVICE r4 #5: the custom_vjp pulls back the slide column and B too
+    (free via the jnp mirror) — a caller differentiating the sliding
+    coefficient no longer gets silently-zero gradients."""
+    Hs, B, scal, _ = _setup(jnp.float64)
+    dt = 1.0 / 12.0
+    scal = scal.at[:, 3].set(1e-3 * scal[:, 2])   # nonzero sliding
+
+    def loss_slide(slide_col):
+        sc = scal.at[:, 3].set(slide_col)
+        return jnp.sum(si_step_pallas(Hs, Hs, B, Hs, sc, dt, 1.0, 6) ** 2)
+
+    s0 = scal[:, 3]
+    g = jax.grad(loss_slide)(s0)
+    # 1e-3 relative step: smaller steps hit f64 cancellation (the slide
+    # column sits at ~2e-10 scale while the loss is ~1e8)
+    e = 1e-3 * float(s0[0])
+    fd = (loss_slide(s0.at[0].add(e)) - loss_slide(s0.at[0].add(-e))) / (2 * e)
+    assert abs(fd) > 0
+    np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-3)
+
+    def loss_bed(b):
+        return jnp.sum(si_step_pallas(Hs, Hs, b, Hs, scal, dt, 1.0, 6) ** 2)
+
+    gb = jax.grad(loss_bed)(B)
+    eb = 1.0e-3
+    ix = (0, B.shape[1] // 2, B.shape[2] // 2)
+    fdb = (loss_bed(B.at[ix].add(eb)) - loss_bed(B.at[ix].add(-eb))) / (2 * eb)
+    np.testing.assert_allclose(float(gb[ix]), float(fdb), rtol=1e-4)
+
+
 def test_si_kernel_unsupported_shapes_raise():
     # one glacier per program: VMEM budget is the only limit — 512² f32 fits
     # (the RKC kernel's g_block=1 broadcast bug doesn't apply to 2-D planes)

@@ -153,6 +153,72 @@ def test_nn_law_band(classical):
     np.testing.assert_allclose(float(s0), float(stds[0]), rtol=1e-8)
 
 
+def test_cov_band_matches_band_diag(classical):
+    """cov_band's full output covariance is consistent with band: its
+    diagonal equals the pointwise variances, it is symmetric PSD, and the
+    off-diagonal correlation of a shared-θ NN law is strong — the reason
+    pointwise coverage cannot judge calibration (VERDICT r4 weak #3)."""
+    params, _, batch, _, tstops, _ = classical
+    nn = NeuralNetwork(default_architecture(1, light=True), seed=3)
+    model = Model(iceflow=SIA2DModel(A=LawA(nn, params)))
+    theta = init_theta(model, batch)
+    resid = make_residual_fn(model, params, tstops)
+    post = laplace_posterior(theta, batch, resid, prior_std=1.0)
+
+    law = model.iceflow.A
+    temps = jnp.linspace(-25.0, -10.0, 7)
+
+    def band_fn(th):
+        return jax.vmap(
+            lambda T: law.apply(th, {"T": T, "glacier_idx": jnp.asarray(0)})
+        )(temps)
+
+    vals_b, stds = post.band(band_fn)
+    vals_c, C = post.cov_band(band_fn)
+    np.testing.assert_allclose(np.asarray(vals_c), np.asarray(vals_b))
+    np.testing.assert_allclose(np.sqrt(np.diag(C)), np.asarray(stds),
+                               rtol=1e-10)
+    assert np.allclose(C, C.T)
+    lam = np.linalg.eigvalsh(C)
+    assert lam.min() > -1e-12 * lam.max()
+    corr = C / np.sqrt(np.outer(np.diag(C), np.diag(C)))
+    # neighboring temperature points of a smooth shared-θ law co-move
+    assert float(np.abs(np.diag(corr, 1)).min()) > 0.5
+
+
+def test_whitened_calibration_statistic():
+    """whitened_calibration is the falsifiable joint metric: for errors drawn
+    from the claimed covariance it centers at T/r ≈ 1 with a healthy p-value;
+    for a 3×-inflated claimed band it reports T/r ≈ 1/9 with p ≈ 0 — the
+    regime pointwise coverage cannot distinguish (both give ~100 %)."""
+    from odinn_tpu.inverse.uncertainty import whitened_calibration
+
+    rng = np.random.default_rng(0)
+    # a correlated low-rank-ish covariance like an NN-law band's
+    G = rng.standard_normal((12, 4))
+    C = G @ G.T + 1e-6 * np.eye(12)
+    L = np.linalg.cholesky(C)
+
+    stats = [whitened_calibration(L @ rng.standard_normal(12), C)
+             for _ in range(64)]
+    t_over_r = np.array([s["T_over_r"] for s in stats])
+    assert abs(t_over_r.mean() - 1.0) < 0.25, t_over_r.mean()
+    # a calibrated draw is rarely rejected at 1 %
+    pvals = np.array([s["p_value"] for s in stats])
+    assert np.mean(pvals < 0.01) < 0.15
+
+    # claimed band 3× too wide (the failure mode under test): same draws
+    # judged against 9·C
+    stats_inflated = [whitened_calibration(L @ rng.standard_normal(12), 9 * C)
+                      for _ in range(64)]
+    t_infl = np.array([s["T_over_r"] for s in stats_inflated])
+    assert abs(t_infl.mean() - 1.0 / 9.0) < 0.05, t_infl.mean()
+    p_infl = np.array([s["p_value"] for s in stats_inflated])
+    assert np.mean(p_infl < 0.01) > 0.8, "inflated band must be rejected"
+    # rank resolves the true structure, not the padding jitter
+    assert stats[0]["rank"] >= 4
+
+
 @pytest.mark.slow
 def test_monte_carlo_calibration(classical):
     """The Laplace std of an inverted per-glacier A matches the empirical
