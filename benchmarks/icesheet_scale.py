@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "icesheet_scale_result.json")
 
-TSPAN = (5.0, 15.0)            # 10 years on the Halfar intrinsic clock
+YEARS = 10.0                   # simulated span
 STEP = 1.0 / 12.0              # monthly saves
 R0, H0, A_TRUE = 800_000.0, 3000.0, 8e-19
 
@@ -53,15 +53,25 @@ def _write(results):
         json.dump(results, f, indent=1)
 
 
+def intrinsic_t0():
+    """The Halfar similarity time at which the dome has exactly (H0, R0) —
+    the physically sensible start (at small t the similarity solution is a
+    vastly taller/wider dome that overflows any fixed domain)."""
+    from odinn_tpu.data.halfar import HalfarParameters, halfar_t0
+
+    return float(halfar_t0(HalfarParameters(R0=R0, H0=H0, A=A_TRUE, n=3.0)))
+
+
 def make_problem(N, jnp):
     from odinn_tpu.core.glacier import stack_glaciers
     from odinn_tpu.data.synthetic import halfar_glacier
 
     dx = 2.0 * 1.28 * R0 / N   # domain = 2.56·R0 across, ≈ 2048 km
+    t0 = intrinsic_t0()
     g = halfar_glacier(nx=N, ny=N, dx=dx, dy=dx, r0=R0, h0=H0, A=A_TRUE,
-                       temp=-20.0, t_ic=TSPAN[0], rgi_id=f"icesheet-{N}")
+                       temp=-20.0, t_ic=t0, rgi_id=f"icesheet-{N}")
     g = g.replace(H0=g.H0.astype(jnp.float32), B=g.B.astype(jnp.float32))
-    return stack_glaciers([g]), dx
+    return stack_glaciers([g]), dx, t0
 
 
 def main():
@@ -86,9 +96,11 @@ def main():
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}", flush=True)
+    T0 = intrinsic_t0()
+    TSPAN = (T0, T0 + YEARS)
     tstops = build_tstops(TSPAN, STEP)
     results = {"device": str(dev), "tspan": TSPAN, "step": STEP,
-               "r0_m": R0, "h0_m": H0, "sizes": {}}
+               "r0_m": R0, "h0_m": H0, "intrinsic_t0_yr": T0, "sizes": {}}
 
     def params_for(solver="SI2", substeps=1):
         return Parameters(
@@ -116,7 +128,7 @@ def main():
         print(f"\n=== {N}² ===", flush=True)
         row = {}
         try:
-            batch, dx = make_problem(N, jnp)
+            batch, dx, _ = make_problem(N, jnp)
             row["dx_m"] = round(dx, 1)
             p = params_for()
 
@@ -136,13 +148,16 @@ def main():
             }
             H_end = np.asarray(compiled(batch))
             assert np.isfinite(H_end).all(), "non-finite forward"
+            assert H_end.max() > 0.5 * H0, "dome collapsed — setup wrong"
             row["si2_forward"]["max_H_end_m"] = round(float(H_end.max()), 1)
             print(json.dumps({"si2_forward": row["si2_forward"]}), flush=True)
 
             # --- gradient step: classical scalar-A inversion vs synthetic obs
             from odinn_tpu.core.glacier import ThicknessData
 
-            obs_t = jnp.asarray([TSPAN[0], TSPAN[1]])
+            # stacked-batch convention: every observation leaf carries the
+            # leading glacier axis (t: (n_g, T), H: (n_g, T, nx, ny))
+            obs_t = jnp.asarray([[TSPAN[0], TSPAN[1]]])
             truth_fwd = jax.jit(lambda b: forward_batch(
                 None, b, Model(iceflow=SIA2DModel(A=ConstantA(1.2 * A_TRUE))),
                 p, tstops))
@@ -186,7 +201,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp, numpy as np, sys
 sys.path.insert(0, %(repo)r)
-from benchmarks.icesheet_scale import make_problem, TSPAN, STEP, A_TRUE
+from benchmarks.icesheet_scale import make_problem, STEP, A_TRUE
 from odinn_tpu.core.params import (Parameters, PhysicalParameters,
     SimulationParameters, SolverParameters, UDEParameters, Hyperparameters)
 from odinn_tpu.core.glacier import ThicknessData
@@ -199,19 +214,20 @@ from odinn_tpu.simulation.solver import build_tstops
 
 assert len(jax.devices()) == 8, jax.devices()
 N = 1024
-batch, dx = make_problem(N, jnp)
+batch, dx, t0 = make_problem(N, jnp)
 # 2 intervals, 1 substep: the dryrun validates sharded compile+execute at
 # the REAL grid, not wall-clock (CPU)
-tstops = build_tstops((TSPAN[0], TSPAN[0] + 2 * STEP), STEP)
+tstops = build_tstops((t0, t0 + 2 * STEP), STEP)
 p = Parameters(
     physical=PhysicalParameters(min_A=8e-21, max_A=8e-18),
-    simulation=SimulationParameters(tspan=(TSPAN[0], TSPAN[0] + 2 * STEP),
+    simulation=SimulationParameters(tspan=(t0, t0 + 2 * STEP),
                                     use_MB=False, use_velocities=False),
     solver=SolverParameters(solver="SI2", step=STEP, substeps=1, cg_iters=8),
     UDE=UDEParameters(grad="jax"),
 )
 batch = batch.replace(thickness_data=ThicknessData(
-    t=jnp.asarray(tstops), H=jnp.broadcast_to(batch.H0[:, None], (1, len(tstops), N, N))))
+    t=jnp.asarray(tstops)[None],
+    H=jnp.broadcast_to(batch.H0[:, None], (1, len(tstops), N, N))))
 model = Model(iceflow=SIA2DModel(A=LawA_inversion(p, scalar=True)))
 theta = {"A": jnp.zeros((1,), jnp.float32)}
 mesh = make_mesh_2d(n_glaciers=1, n_rows=8)
