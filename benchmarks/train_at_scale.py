@@ -451,14 +451,26 @@ def main():
         # (gn_cg_restarts=2, cg=250) restore deep convergence — 22153x,
         # A gate green — while 4 restarts of 120 are too shallow per round
         # (the spectrum needs ~250 contiguous Krylov directions).
-        # r4 verdict #2: 40 iters stopped at A_relerr_max 4.5e-3 — an
-        # optimization gap, not identifiability (the observations here are
-        # NOISELESS, so the PDE-loss optimum IS the true A's). A second LM
-        # stage with a 30× lower re-seeded damping lets the trust region
-        # re-expand from the warm θ and finish the last decade of loss.
-        stages4 = [("lm", 1e-2, 50), ("lm", 3e-4, 40)]
+        # r4 verdict #2: the plain LM fine-tune from the noise-warped
+        # pretrain converges to a REPRODUCIBLE local optimum at loss
+        # ~8.33e-5 / A_relerr_max 4.5e-3 — measured identical (4 digits)
+        # at 40 and at 90 iterations and under a re-seeded second damping
+        # stage, so it is a basin problem, not under-training (the
+        # observations are NOISELESS, so the global optimum is the true
+        # A's — the clean part-2 pipeline reaches it). Escape = multistart:
+        # vmapped Adam exploration over jittered copies of the pretrained θ
+        # (near-free on the chip — the restart axis rides the same vmap),
+        # then LM refinement on the best survivor.
+        stages4 = [("adam", 2e-3, 300), ("lm", 1e-2, 40), ("lm", 3e-4, 20)]
         params4 = make_params(stages4, gn_cg_iters=250, gn_glacier_norm=False,
                               gn_cg_restarts=2)
+        # 4 restarts hold 4 live reverse trajectories at once under the
+        # restart vmap — bound each to a 16-glacier chunk (0.64 GiB) so the
+        # exploration fits HBM with the same exact full-batch gradients
+        import dataclasses as _dc
+
+        params4 = params4.replace(hyper=_dc.replace(
+            params4.hyper, grad_accum_chunks=8))
         nn = NeuralNetwork(arch, seed=666)
         law4 = LawA(nn, params4, head="log", prescale_bounds=prescale_bounds,
                     n_fourier=N_FOURIER)
@@ -490,21 +502,33 @@ def main():
                             for l in th_pre]}
         loss_pre = float(eval_true(inv4.theta, inv4.glaciers))
 
+        from odinn_tpu.simulation.ensemble import multistart_train
+
         t0 = time.time()
-        res4 = run_inversion(inv4)
+        ms4 = multistart_train(inv4, n_restarts=4, init_scale=0.05, seed=7,
+                               refine_top_k=1)
         t_tr4 = time.time() - t0
+        n_epochs4 = sum(e for _, _, e in stages4)
         rels4 = np.asarray(a_rels(law4, inv4.theta, range(NG)))
-        ratio4 = float(res4.stats.final_loss / loss0_cold)
-        improvement = loss_pre / float(res4.stats.final_loss)
+        loss_best4 = float(ms4.best_loss)
+        ratio4 = loss_best4 / loss0_cold
+        improvement = loss_pre / loss_best4
         result["ude_nn_degraded"] = {
             "pipeline": "pretrain on classical A's + 5% multiplicative noise "
-                        "(seed 42) -> f32 PDE LM fine-tune",
+                        "(seed 42) -> 4-restart vmapped-Adam multistart over "
+                        "jittered pretrain inits -> f32 PDE LM refinement on "
+                        "the best survivor",
             "degraded_A_relerr_max": deg_rel,
-            "train_s": round(t_tr4, 2), "niter": res4.stats.niter,
-            "s_per_epoch": round(t_tr4 / max(res4.stats.niter, 1), 3),
+            "train_s": round(t_tr4, 2), "niter": n_epochs4,
+            "s_per_epoch": round(t_tr4 / n_epochs4, 3),
+            "multistart": {
+                "n_restarts": 4, "init_scale": 0.05,
+                "post_adam_losses": [float(x) for x in ms4.final_losses],
+                "best_idx": int(ms4.best_idx),
+            },
             "loss0_cold": loss0_cold,
             "loss_pretrained": loss_pre,
-            "loss_best": float(res4.stats.final_loss),
+            "loss_best": loss_best4,
             "finetune_improvement_x": improvement,
             "loss_ratio": ratio4,
             "A_relerr_max": float(rels4.max()),

@@ -149,6 +149,33 @@ def test_train_ude_replay(setup):
     assert inv.parameters.solver.replay_dts is not None
 
 
+def test_replay_trains_on_mesh(setup):
+    """adaptive='replay' composes with glacier-mesh sharding: the recorded
+    schedule (a closed-over constant indexed by the traced glacier_idx)
+    replicates under GSPMD and training on the 8-device mesh matches the
+    single-device run."""
+    from odinn_tpu.parallel.mesh import make_mesh
+    from odinn_tpu.simulation.inversion import Inversion, train_ude
+    from odinn_tpu.simulation.prediction import generate_ground_truth
+
+    g, model, tstops = setup
+    assert len(jax.devices()) == 8
+    p = make_params(adaptive="replay", reltol=1e-5)
+    p = p.replace(hyper=Hyperparameters(optimizer="adam", learning_rate=5e-2,
+                                        epochs=3, batch_size=16))
+    glaciers = [g.replace(rgi_id=f"rp{i}") for i in range(8)]
+    obs = generate_ground_truth(glaciers, p, model, tstops, store=("H",))
+    inv_model = Model(iceflow=SIA2DModel(A=LawA_inversion(p, scalar=True)))
+
+    inv_ref = Inversion(model=inv_model, glaciers=list(obs), parameters=p)
+    res_ref = train_ude(inv_ref)
+
+    inv_m = Inversion(model=inv_model, glaciers=list(obs), parameters=p)
+    res_m = train_ude(inv_m, mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(res_m.stats.losses),
+                               np.asarray(res_ref.stats.losses), rtol=1e-8)
+
+
 def test_replay_rejects_manual_adjoints(setup):
     from odinn_tpu.simulation.inversion import Inversion, train_ude
 
