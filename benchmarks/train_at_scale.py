@@ -461,7 +461,12 @@ def main():
         # vmapped Adam exploration over jittered copies of the pretrained θ
         # (near-free on the chip — the restart axis rides the same vmap),
         # then LM refinement on the best survivor.
-        stages4 = [("adam", 2e-3, 300), ("lm", 1e-2, 40), ("lm", 3e-4, 20)]
+        # exploration split into 30-epoch dispatches: the tunneled TPU
+        # worker kills minutes-long single executions (a 300-epoch scan in
+        # one dispatch crashed it twice), and every prior green multistart
+        # ran 30-epoch stages
+        stages4 = [("adam", 2e-3, 30)] * 6 + [("lm", 1e-2, 40),
+                                              ("lm", 3e-4, 20)]
         params4 = make_params(stages4, gn_cg_iters=250, gn_glacier_norm=False,
                               gn_cg_restarts=2)
         # 4 restarts hold 4 live reverse trajectories at once under the

@@ -824,8 +824,10 @@ def train_ude(
                     # must stay on one scale across stages (core/params.py:
                     # "reported losses remain the UN-normalized objective"),
                     # so re-price the true loss (one forward per LM iter —
-                    # marginal next to the iteration's CG solves)
-                    v = float(jax.jit(loss_fn_b)(th, batch))
+                    # marginal next to the iteration's CG solves; eval_loss
+                    # is the shared jitted wrapper — a fresh jax.jit here
+                    # would retrace the whole fwd program every iteration)
+                    v = float(eval_loss(th, batch))
                 _record(stats, v, th, gn, 0.0)
                 if callback is not None:
                     callback(stats)
