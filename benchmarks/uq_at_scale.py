@@ -206,7 +206,11 @@ def main():
     from jax.flatten_util import ravel_pytree
 
     p_nn = int(ravel_pytree(inv_nn.theta)[0].size)
-    PRIOR_STD = float(os.environ.get("ODINN_UQ_PRIOR_STD", "1.0"))
+    # default = the empirically calibrated prior (joint whitened χ² study,
+    # docs/uncertainty.md: τ=1.0 rejected at p=4e-9 as ~1.5× inflated,
+    # τ=0.5 passes at p=0.23) — so a plain re-run reproduces the committed
+    # artifact's calibrated row
+    PRIOR_STD = float(os.environ.get("ODINN_UQ_PRIOR_STD", "0.5"))
     t0 = time.time()
     post_nn = laplace_posterior(inv_nn.theta, batch, resid_nn,
                                 prior_std=PRIOR_STD, dense_threshold=1024)

@@ -135,9 +135,11 @@ class SolverParameters:
                                     # path (forward-only); "replay": record
                                     # accepted dts once, replay as a fixed
                                     # differentiable schedule (see class doc)
-    replay_dts: Any = None          # resolved recorded schedule, shape
-                                    # (n_glaciers, n_intervals, cap) — set by
-                                    # prediction.resolve_replay, not by hand
+    # resolved recorded schedule, shape (n_glaciers, n_intervals, cap) — set
+    # by prediction.resolve_replay, not by hand. compare/hash excluded: an
+    # array field would otherwise break the frozen dataclass's generated
+    # __eq__ ("truth value of an array is ambiguous") and __hash__
+    replay_dts: Any = field(default=None, compare=False, hash=False)
     remat: bool = True              # rematerialize intervals in reverse-mode
                                     # (O(n_tstops) memory); False trades memory
                                     # for backward speed on small problems

@@ -171,13 +171,21 @@ class LaplacePosterior:
         var = float(g @ self._solve(g))
         return q, float(np.sqrt(max(var, 0.0)))
 
-    def band(self, vector_fn: Callable):
-        """(values, pointwise stds) of vector ``vector_fn(theta)`` — the
-        confidence band of a law swept over an input grid."""
+    def _jac_flat(self, vector_fn: Callable):
+        """(values, (m, p) float64 Jacobian of the raveled output wrt θ) —
+        the row flattening uses ``jax.tree.leaves`` order, which is the
+        contract ``ravel_pytree`` used to build Σ (one place, shared by
+        :meth:`band` and :meth:`cov_band`)."""
         q = jax.jit(vector_fn)(self.theta)
         G = jax.jit(jax.jacrev(lambda th: jnp.ravel(vector_fn(th))))(self.theta)
         G_flat = np.asarray(jax.vmap(lambda *leaves: jnp.concatenate(
             [jnp.ravel(l) for l in leaves]))(*jax.tree.leaves(G)), np.float64)
+        return q, G_flat
+
+    def band(self, vector_fn: Callable):
+        """(values, pointwise stds) of vector ``vector_fn(theta)`` — the
+        confidence band of a law swept over an input grid."""
+        q, G_flat = self._jac_flat(vector_fn)
         if self._cov is not None:
             variances = np.einsum("mp,pq,mq->m", G_flat, self._cov, G_flat)
         else:
@@ -197,10 +205,7 @@ class LaplacePosterior:
         calibrated posterior from an inflated one — whiten against C instead
         (:func:`whitened_calibration`). numpy float64.
         """
-        q = jax.jit(vector_fn)(self.theta)
-        G = jax.jit(jax.jacrev(lambda th: jnp.ravel(vector_fn(th))))(self.theta)
-        G_flat = np.asarray(jax.vmap(lambda *leaves: jnp.concatenate(
-            [jnp.ravel(l) for l in leaves]))(*jax.tree.leaves(G)), np.float64)
+        q, G_flat = self._jac_flat(vector_fn)
         if self._cov is not None:
             C = G_flat @ self._cov @ G_flat.T
         else:

@@ -520,6 +520,12 @@ def train_ude(
     # θ needs more. SI/SI2 are exempt: unconditionally stable, their sizing is
     # an accuracy budget, not a stability bound.
     substeps_guard = substeps_auto and params.solver.solver not in ("SI", "SI2")
+    # replay mode holds its recorded dt schedule fixed for gradient
+    # consistency, so it shares the same staleness hazard: if the optimizer
+    # outgrows the schedule's stability region mid-stage, the recovery path
+    # below re-records the schedule at the best finite iterate instead of
+    # bumping substeps
+    replay_mode = params.solver.adaptive == "replay"
     orig_batch = batch
     n_results = batch.H0.shape[0]
 
@@ -860,26 +866,48 @@ def train_ude(
             raise ValueError(f"unknown optimizer {opt_name!r}")
 
     def _recover_instability():
-        """In-flight stability failure under substeps='auto': the loss went
-        non-finite mid-stage — the optimizer left the initial probe's
-        stability region between boundary rechecks. Rewind θ to the best
-        finite iterate, re-probe there, bump substeps by at least 2× (a
-        probe at the rewound θ may still be sized below where the optimizer
-        is heading), rebuild the jitted steps, and rerun the stage."""
+        """In-flight stability failure: the loss went non-finite mid-stage —
+        the optimizer left the initial calibration's stability region
+        between boundary rechecks. Rewind θ to the best finite iterate,
+        re-size there (bump substeps ≥2× under substeps='auto'; re-record
+        the accepted-dt schedule under adaptive='replay'), rebuild the
+        jitted steps, and rerun the stage."""
         nonlocal theta, params, eval_loss, vg
-        from odinn_tpu.simulation.prediction import calibrate_substeps
 
         theta = best_theta
-        cur = int(params.solver.substeps)
-        needed = max(calibrate_substeps(theta, batch, model, params, tstops),
-                     2 * cur)
-        print(f"[odinn_tpu] substeps='auto': non-finite loss mid-stage — "
-              f"rewinding to the best iterate, re-sizing {cur} → {needed} "
-              f"substeps/interval, and rerunning the stage")
-        params = params.replace(
-            solver=dataclasses.replace(params.solver, substeps=int(needed)))
+        # the raising _record appended the non-finite loss (and bumped
+        # niter / theta_hist) but not grad_norm_hist/time_per_iter —
+        # reconcile so every history stays aligned after recovery
+        n = len(stats.grad_norm_hist)
+        del stats.losses[n:]
+        if getattr(stats, "_record_theta_hist", False):
+            del stats.theta_hist[n:]
+        stats.niter = n
+        stats.retcode = None
+
+        if replay_mode:
+            from odinn_tpu.simulation.prediction import resolve_replay
+
+            print("[odinn_tpu] adaptive='replay': non-finite loss mid-stage "
+                  "— rewinding to the best iterate, re-recording the "
+                  "accepted-dt schedule there, and rerunning the stage")
+            params = params.replace(solver=dataclasses.replace(
+                params.solver, replay_dts=None))
+            params = resolve_replay(params, batch, model, theta, tstops)
+            stats.substeps_bumps.append((stats.niter, "replay", "re-recorded"))
+        else:
+            from odinn_tpu.simulation.prediction import calibrate_substeps
+
+            cur = int(params.solver.substeps)
+            needed = max(calibrate_substeps(theta, batch, model, params,
+                                            tstops), 2 * cur)
+            print(f"[odinn_tpu] substeps='auto': non-finite loss mid-stage — "
+                  f"rewinding to the best iterate, re-sizing {cur} → {needed} "
+                  f"substeps/interval, and rerunning the stage")
+            params = params.replace(
+                solver=dataclasses.replace(params.solver, substeps=int(needed)))
+            stats.substeps_bumps.append((stats.niter, cur, int(needed)))
         inversion.parameters = params
-        stats.substeps_bumps.append((stats.niter, cur, int(needed)))
         _shared_steps.clear()
         eval_loss = jax.jit(loss_fn_b)
         vg = _make_grad_fn(inversion, loss_fn_b)
@@ -891,9 +919,11 @@ def train_ude(
                 _run_stage(opt_name, lr, epochs)
                 break
             except FloatingPointError:
-                # recoverable only when the staleness guard owns the sizing
-                # and a finite best iterate exists to rewind to
-                if not substeps_guard or best_theta is None or attempts >= 3:
+                # recoverable only when this loop owns the sizing (auto
+                # substeps or a recorded replay schedule) and a finite best
+                # iterate exists to rewind to
+                if not (substeps_guard or replay_mode) or best_theta is None \
+                        or attempts >= 3:
                     raise
                 attempts += 1
                 _recover_instability()

@@ -340,7 +340,11 @@ def calibrate_substeps_si(theta, batch, model, params, tstops,
         if scaled_err(run(substeps, c), ref) <= 0.5:
             cg = c
             break
-    return substeps, cg
+    # the accepted probe ran with this predictor budget (run() above) — the
+    # production solve must use the configuration that passed the
+    # acceptance, so the predictor depth is returned and written back too
+    cg_pred = max(int(cg) // 2, params.solver.cg_iters_predictor)
+    return substeps, cg, cg_pred
 
 
 def resolve_substeps(params, batch, model, theta, tstops):
@@ -351,12 +355,15 @@ def resolve_substeps(params, batch, model, theta, tstops):
     if params.solver.substeps != "auto":
         return params
     if params.solver.solver in ("SI", "SI2"):
-        n, cg = calibrate_substeps_si(theta, batch, model, params, tstops)
+        n, cg, cg_pred = calibrate_substeps_si(theta, batch, model, params,
+                                               tstops)
         print(f"[odinn_tpu] substeps='auto' ({params.solver.solver}): "
-              f"calibrated {n} substeps/interval, cg_iters={cg} from "
-              f"reltol={params.solver.reltol:g} (Richardson step-halving)")
+              f"calibrated {n} substeps/interval, cg_iters={cg} "
+              f"(predictor {cg_pred}) from reltol={params.solver.reltol:g} "
+              f"(Richardson step-halving)")
         return params.replace(
-            solver=dataclasses.replace(params.solver, substeps=n, cg_iters=cg)
+            solver=dataclasses.replace(params.solver, substeps=n, cg_iters=cg,
+                                       cg_iters_predictor=cg_pred)
         )
     n = calibrate_substeps(theta, batch, model, params, tstops)
     print(f"[odinn_tpu] substeps='auto': calibrated {n} substeps/interval "
@@ -394,10 +401,29 @@ def resolve_replay(params, batch, model, theta, tstops):
                                      _return_stats=True)
     ))(batch, idxs)
     cap = int(jnp.max(naccs))
-    _, dts = jax.jit(jax.vmap(
+    _, naccs2, dts = jax.jit(jax.vmap(
         lambda g, i: forward_glacier(theta, g, i, model, p_ad, tstops,
-                                     _return_dts=cap)
+                                     _return_stats=True, _return_dts=cap)
     ))(batch, idxs)
+    # the two probes are separately traced XLA programs; a borderline
+    # accept/reject could in principle flip between them, and an accept past
+    # `cap` would be silently dropped from the record — verify both ways
+    if int(jnp.max(naccs2)) > cap:
+        raise RuntimeError(
+            "resolve_replay: the recording probe accepted more steps than "
+            f"the counting probe sized for (cap {cap}) — re-run; if it "
+            "persists, the two compilations disagree on a borderline "
+            "accept/reject and reltol should be nudged"
+        )
+    sums = jnp.sum(dts, axis=-1)
+    spans = jnp.diff(jnp.asarray(tstops))[None, :]
+    # f32-safe gate: a ~50-term f32 accumulation carries O(1e-6) relative walk
+    if not bool(jnp.all(jnp.abs(sums - spans) <= 1e-4 * jnp.abs(spans) + 1e-9)):
+        raise RuntimeError(
+            "resolve_replay: recorded dts do not tile the save intervals "
+            "(max defect "
+            f"{float(jnp.max(jnp.abs(sums - spans))):.3e}) — record corrupt"
+        )
     total = int(jnp.sum(naccs))
     print(f"[odinn_tpu] adaptive='replay': recorded {total} accepted steps "
           f"({batch.H0.shape[0]} glaciers × {int(naccs.shape[1])} intervals, "
@@ -428,6 +454,10 @@ class Prediction:
     parameters: Any
     theta: Any = None
     results: Any = None
+    resolved_parameters: Any = None     # last run's resolved substeps/replay
+                                        # config (read-only diagnostic —
+                                        # every run re-resolves from
+                                        # `parameters`)
 
     def __post_init__(self):
         if isinstance(self.glaciers, (list, tuple)):
@@ -441,9 +471,15 @@ def run_prediction(pred: Prediction, tstops=None):
     if tstops is None:
         tstops = build_tstops(params.simulation.tspan, params.solver.step)
     theta = pred.theta
+    # resolution stays LOCAL to this call: persisting resolved params into
+    # pred.parameters would silently reuse a stale substeps sizing / replay
+    # schedule on a second run_prediction call after the user changed
+    # pred.theta or passed different tstops — each call re-probes, exactly
+    # like the pre-resolution behavior. The resolved values are exposed for
+    # inspection without becoming the next call's config:
     params = resolve_substeps(params, pred.glaciers, pred.model, theta, tstops)
     params = resolve_replay(params, pred.glaciers, pred.model, theta, tstops)
-    pred.parameters = params
+    pred.resolved_parameters = params
 
     fwd = jax.jit(
         lambda th, batch: forward_batch(th, batch, pred.model, params, tstops)
