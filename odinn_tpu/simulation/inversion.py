@@ -865,13 +865,16 @@ def train_ude(
         else:
             raise ValueError(f"unknown optimizer {opt_name!r}")
 
-    def _recover_instability():
+    def _recover_instability(attempt=1):
         """In-flight stability failure: the loss went non-finite mid-stage —
         the optimizer left the initial calibration's stability region
         between boundary rechecks. Rewind θ to the best finite iterate,
         re-size there (bump substeps ≥2× under substeps='auto'; re-record
-        the accepted-dt schedule under adaptive='replay'), rebuild the
-        jitted steps, and rerun the stage."""
+        the accepted-dt schedule under adaptive='replay', splitting each
+        recorded step 2^(attempt−1) ways — a probe at the rewound θ cannot
+        anticipate the optimizer's NEXT move, so repeated failures buy
+        compounding stability margin), rebuild the jitted steps, and rerun
+        the stage."""
         nonlocal theta, params, eval_loss, vg
 
         theta = best_theta
@@ -888,13 +891,24 @@ def train_ude(
         if replay_mode:
             from odinn_tpu.simulation.prediction import resolve_replay
 
+            splits = 2 ** (attempt - 1)
             print("[odinn_tpu] adaptive='replay': non-finite loss mid-stage "
                   "— rewinding to the best iterate, re-recording the "
-                  "accepted-dt schedule there, and rerunning the stage")
+                  f"accepted-dt schedule there (each step split {splits}×), "
+                  "and rerunning the stage")
             params = params.replace(solver=dataclasses.replace(
                 params.solver, replay_dts=None))
             params = resolve_replay(params, batch, model, theta, tstops)
-            stats.substeps_bumps.append((stats.niter, "replay", "re-recorded"))
+            if splits > 1:
+                # split each recorded dt into `splits` equal sub-steps: the
+                # interval tiling is preserved exactly and BS3 at smaller dt
+                # is strictly more stable — compounding margin per attempt
+                dts = np.asarray(params.solver.replay_dts)
+                dts = np.repeat(dts / splits, splits, axis=-1)
+                params = params.replace(solver=dataclasses.replace(
+                    params.solver, replay_dts=dts))
+            stats.substeps_bumps.append(
+                (stats.niter, "replay", f"re-recorded x{splits}"))
         else:
             from odinn_tpu.simulation.prediction import calibrate_substeps
 
@@ -926,7 +940,7 @@ def train_ude(
                         or attempts >= 3:
                     raise
                 attempts += 1
-                _recover_instability()
+                _recover_instability(attempts)
 
     # adopt the best iterate (loss is recorded for θ *before* each update, so
     # the final θ's loss is unknown — compare it before deciding)

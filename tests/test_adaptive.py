@@ -205,6 +205,10 @@ def test_si_auto_sizes_cg(setup):
     assert isinstance(p_res.solver.substeps, int)
     assert isinstance(p_res.solver.cg_iters, int)
     assert 1 <= p_res.solver.cg_iters <= 64
+    # the predictor budget the accepted probe ran with is written back too —
+    # the production solve must be the configuration that passed acceptance
+    assert p_res.solver.cg_iters_predictor >= max(
+        p_res.solver.cg_iters // 2, p.solver.cg_iters_predictor)
 
 
 def test_substeps_auto_staleness_guard(setup):

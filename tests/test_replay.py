@@ -176,6 +176,52 @@ def test_replay_trains_on_mesh(setup):
                                np.asarray(res_ref.stats.losses), rtol=1e-8)
 
 
+def test_replay_instability_recovers_or_fails_loudly(setup):
+    """The recorded schedule is held fixed for gradient consistency, so an
+    optimizer that outgrows its stability region mid-stage sends the loss
+    non-finite — the guarantee under test: training NEVER silently returns
+    a NaN-poisoned result. It rewinds to the best finite iterate,
+    re-records the schedule there with compounding step-splitting, and
+    reruns the stage; if the (deterministic) optimizer path re-explodes
+    past the margin on every bounded attempt, it raises the loud
+    FloatingPointError — with the attempted re-recordings on the stats.
+    This config is deliberately violent (A must climb three decades inside
+    one stage at a hot learning rate) so the bounded-attempts → loud-raise
+    leg is exercised; milder drifts recover and continue (the substeps
+    analogue of that leg is test_substeps_auto_staleness_guard)."""
+    from odinn_tpu.simulation.inversion import Inversion, train_ude
+    from odinn_tpu.simulation.prediction import generate_ground_truth
+
+    g, _, tstops = setup
+    p = make_params(adaptive="replay", reltol=1e-2)
+    p = p.replace(
+        physical=PhysicalParameters(min_A=2e-19, max_A=4e-16),
+        hyper=Hyperparameters(optimizer=("adam", "adam"),
+                              learning_rate=(0.8, 0.1),
+                              epochs=(25, 5), batch_size=4),
+    )
+    truth = Model(iceflow=SIA2DModel(A=ConstantA(2e-16)))
+    (g_obs,) = generate_ground_truth([g], p, truth, tstops, store=("H",))
+    inv_model = Model(iceflow=SIA2DModel(A=LawA_inversion(p, scalar=True)))
+    inv = Inversion(model=inv_model, glaciers=[g_obs], parameters=p)
+    inv.theta = {"A": jnp.asarray([-2.0])}   # start near min_A
+
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        train_ude(inv)
+    # the raise came AFTER the bounded recovery loop did its work: the
+    # schedule was re-recorded (with step-splitting) on every attempt —
+    # non-silent by construction
+    inv_stats = inv.parameters
+    assert inv_stats.solver.replay_dts is not None
+    # re-recorded schedules were installed into inversion.parameters by the
+    # recovery path; the dt record reflects the last split attempt
+    import numpy as _np
+
+    dts = _np.asarray(inv_stats.solver.replay_dts)
+    spans = _np.diff(_np.asarray(tstops))
+    _np.testing.assert_allclose(dts.sum(axis=-1), spans[None, :], rtol=1e-8)
+
+
 def test_replay_rejects_manual_adjoints(setup):
     from odinn_tpu.simulation.inversion import Inversion, train_ude
 
