@@ -24,10 +24,11 @@ TUTORIALS = sorted(p.name for p in DOCS.glob("*.py"))
 def test_tutorial_inventory():
     """All shipped tutorials are in the lane — a new docs/*.py is picked up
     automatically; an accidentally deleted one fails here."""
-    assert len(TUTORIALS) >= 7, TUTORIALS
+    assert len(TUTORIALS) >= 8, TUTORIALS
     for name in ("quick_start.py", "forward_simulation.py",
                  "classical_inversion.py", "functional_inversion.py",
-                 "laws_and_inputs.py", "real_data.py", "scaling.py"):
+                 "laws_and_inputs.py", "real_data.py", "scaling.py",
+                 "tolerance_and_adaptivity.py"):
         assert name in TUTORIALS
 
 
