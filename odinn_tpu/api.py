@@ -260,6 +260,12 @@ from odinn_tpu.simulation.ensemble import (
     multistart_train,
 )
 
+# derivative-free ensemble Kalman inversion (beyond-parity) ------------------------
+from odinn_tpu.simulation.eki import (
+    EKIResult,
+    eki_train,
+)
+
 
 def enable_multiprocessing(params=None, workers: Optional[int] = None,
                            rows: int = 1):
