@@ -51,6 +51,7 @@ from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax
+import jax.flatten_util  # registers jax.flatten_util (NOT auto-imported by `import jax`)
 import jax.numpy as jnp
 import numpy as np
 
