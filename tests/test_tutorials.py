@@ -7,7 +7,7 @@ TPU-native equivalent: each tutorial runs as a subprocess in smoke mode
 (``ODINN_TUTORIAL_SMOKE=1`` shrinks epochs/grids/tspans; the flow itself is
 unchanged) with an isolated cwd, and the test fails on any exception.
 
-Slow-marked (nightly lane): the seven tutorials compile real training steps.
+Slow-marked (nightly lane): the tutorials compile real training steps.
 """
 
 import os
